@@ -1,0 +1,355 @@
+r"""FFTLog transforms, TPU-native.
+
+Computes :math:`G(y) = \int_0^\infty x\,dx\,F(x) K(xy)` for log-spaced x via
+the FFTLog algorithm (Hamilton 2000), with:
+
+- Mellin kernel coefficients evaluated **on device** with the Lanczos
+  ``loggamma`` (ops/special.py), removing the reference's host
+  ``pure_callback`` round-trip (cosmoprimo/fftlog.py:16-27);
+- the transform itself a batched real FFT over arbitrary leading axes
+  (nparallel kernels x any batch shape), mapping directly onto XLA's TPU FFT;
+- everything pytree-registered and differentiable (jit/vmap/jacfwd).
+
+API parity with the reference fftlog.py: FFTlog, HankelTransform,
+PowerToCorrelation, CorrelationToPower, TophatVariance, GaussianVariance,
+``pad`` and the Mellin kernels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.special import gamma as _gamma, loggamma as _loggamma
+
+
+# ----------------------------------------------------------------------------
+# Mellin transforms of kernels: U_K(z) = \int_0^\infty t^{z-1} K(t) dt
+# ----------------------------------------------------------------------------
+
+class BaseKernel(object):
+    """Base Mellin kernel."""
+
+    def __call__(self, z):
+        return self.eval(z)
+
+    def __eq__(self, other):
+        return other.__class__ == self.__class__
+
+
+class BesselJKernel(BaseKernel):
+    """Mellin transform of the Bessel function J_nu."""
+
+    def __init__(self, nu):
+        self.nu = nu
+
+    def __eq__(self, other):
+        return other.__class__ == self.__class__ and other.nu == self.nu
+
+    def eval(self, z):
+        z = jnp.asarray(z, dtype=jnp.complex128)
+        return jnp.exp(jnp.log(2.0) * (z - 1) + _loggamma(0.5 * (self.nu + z)) - _loggamma(0.5 * (2 + self.nu - z)))
+
+
+class SphericalBesselJKernel(BaseKernel):
+    """Mellin transform of the spherical Bessel function j_ell."""
+
+    def __init__(self, nu):
+        self.nu = nu
+
+    def __eq__(self, other):
+        return other.__class__ == self.__class__ and other.nu == self.nu
+
+    def eval(self, z):
+        z = jnp.asarray(z, dtype=jnp.complex128)
+        return jnp.exp(jnp.log(2.0) * (z - 1.5) + _loggamma(0.5 * (self.nu + z)) - _loggamma(0.5 * (3 + self.nu - z)))
+
+
+class TophatKernel(BaseKernel):
+    """Mellin transform of the ndim-dimensional tophat window."""
+
+    def __init__(self, ndim=1):
+        self.ndim = ndim
+
+    def __eq__(self, other):
+        return other.__class__ == self.__class__ and other.ndim == self.ndim
+
+    def eval(self, z):
+        z = jnp.asarray(z, dtype=jnp.complex128)
+        return jnp.exp(jnp.log(2.0) * (z - 1) + _loggamma(1 + 0.5 * self.ndim)
+                       + _loggamma(0.5 * z) - _loggamma(0.5 * (2 + self.ndim - z)))
+
+
+class TophatSqKernel(BaseKernel):
+    """Mellin transform of the squared tophat window."""
+
+    def __init__(self, ndim=1):
+        self.ndim = ndim
+
+    def __eq__(self, other):
+        return other.__class__ == self.__class__ and other.ndim == self.ndim
+
+    def eval(self, z):
+        z = jnp.asarray(z, dtype=jnp.complex128)
+        if self.ndim == 1:
+            return -0.25 * jnp.sqrt(jnp.pi) * jnp.exp(_loggamma(0.5 * (z - 2)) - _loggamma(0.5 * (3 - z)))
+        if self.ndim == 3:
+            return (2.25 * jnp.sqrt(jnp.pi) * (z - 2) / (z - 6)
+                    * jnp.exp(_loggamma(0.5 * (z - 4)) - _loggamma(0.5 * (5 - z))))
+        return jnp.exp(jnp.log(2.0) * (self.ndim - 1) + 2 * _loggamma(1 + 0.5 * self.ndim)
+                       + _loggamma(0.5 * (1 + self.ndim - z)) + _loggamma(0.5 * z)
+                       - _loggamma(1 + self.ndim - 0.5 * z) - _loggamma(0.5 * (2 + self.ndim - z))) / jnp.sqrt(jnp.pi)
+
+
+class GaussianKernel(BaseKernel):
+    """Mellin transform of the Gaussian window."""
+
+    def eval(self, z):
+        z = jnp.asarray(z, dtype=jnp.complex128)
+        return 2 ** (0.5 * z - 1) * jnp.exp(_loggamma(0.5 * z))
+
+
+class GaussianSqKernel(BaseKernel):
+    """Mellin transform of the squared Gaussian window."""
+
+    def eval(self, z):
+        z = jnp.asarray(z, dtype=jnp.complex128)
+        return 0.5 * jnp.exp(_loggamma(0.5 * z))
+
+
+# ----------------------------------------------------------------------------
+# Padding
+# ----------------------------------------------------------------------------
+
+def pad(array, pad_width, axis=-1, extrap=0):
+    """Pad ``array`` along ``axis``; ``extrap`` is 'log' (log-log power-law
+    continuation), 'edge', or a constant fill value; a (left, right) tuple
+    differentiates the two sides."""
+    array = jnp.asarray(array)
+    try:
+        wl, wr = pad_width
+    except (TypeError, ValueError):
+        wl = wr = pad_width
+    try:
+        el, er = extrap
+    except (TypeError, ValueError):
+        el = er = extrap
+
+    axis = axis % array.ndim
+    to_axis = [1] * array.ndim
+    to_axis[axis] = -1
+
+    def take(i):
+        return jnp.take(array, jnp.array([i]), axis=axis)
+
+    if el == 'edge':
+        left = jnp.repeat(take(0), wl, axis=axis)
+    elif el == 'log':
+        end = take(0)
+        ratio = take(1) / end
+        exp = jnp.arange(-wl, 0).reshape(to_axis)
+        left = end * ratio ** exp
+    else:
+        left = jnp.full(array.shape[:axis] + (wl,) + array.shape[axis + 1:], el, dtype=array.dtype)
+
+    if er == 'edge':
+        right = jnp.repeat(take(-1), wr, axis=axis)
+    elif er == 'log':
+        end = take(-1)
+        ratio = take(-2) / end
+        exp = jnp.arange(1, wr + 1).reshape(to_axis)
+        right = end / ratio ** exp
+    else:
+        right = jnp.full(array.shape[:axis] + (wr,) + array.shape[axis + 1:], er, dtype=array.dtype)
+
+    return jnp.concatenate([left, array, right], axis=axis)
+
+
+# ----------------------------------------------------------------------------
+# FFTLog core
+# ----------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class FFTlog(object):
+    r"""FFTLog transform engine performing ``nparallel`` kernel transforms at
+    once (leading axis), each over a log-spaced coordinate array.
+
+    All setup products (low-ringing output grid, Mellin coefficient array
+    ``padded_u``, pre/post power-law factors) are computed in jnp at
+    construction, so construction itself can sit inside a jit trace; the
+    transform is pad -> rfft -> multiply -> irfft -> crop, batched over any
+    leading shape.
+
+    Conventions match the reference (cosmoprimo/fftlog.py:31-248): kernel
+    Mellin transforms are defined with ``t^{z-1}`` so Bessel kernels use
+    ``q = 1.5`` tilts for the standard pk <-> xi transforms.
+    """
+
+    def __init__(self, x, kernel, q=0, minfolds=2, lowring=True, xy=1, check_level=0, engine='jax', **engine_kwargs):
+        self.inparallel = isinstance(kernel, (tuple, list))
+        kernels = list(kernel) if self.inparallel else [kernel]
+        nk = len(kernels)
+        if np.ndim(q) == 0:
+            q = [q] * nk
+        if np.ndim(xy) == 0:
+            xy = [xy] * nk
+        x = jnp.asarray(x, dtype=jnp.float64)
+        shared_x = x.ndim == 1
+        if not self.inparallel:
+            x = x[None, :]
+        elif x.ndim == 1:
+            x = jnp.tile(x[None, :], (nk, 1))
+        self.x = x
+        self._setup(kernels, list(q), minfolds=minfolds, lowring=lowring, xy=list(xy), shared_x=shared_x)
+
+    @property
+    def nparallel(self):
+        return self.x.shape[0]
+
+    @property
+    def size(self):
+        return self.x.shape[-1]
+
+    def _setup(self, kernels, qs, minfolds=2, lowring=True, xy=1.0, shared_x=True):
+        size = self.size
+        self.delta = jnp.log(self.x[:, -1] / self.x[:, 0]) / (size - 1)
+
+        nfolds = (size * minfolds - 1).bit_length()
+        self.padded_size = 2 ** nfolds
+        npad = self.padded_size - size
+        self.padded_size_in_left, self.padded_size_in_right = npad // 2, npad - npad // 2
+        self.padded_size_out_left, self.padded_size_out_right = npad - npad // 2, npad // 2
+
+        if lowring:
+            self.lnxy = jnp.array([delta / jnp.pi * jnp.angle(kern(q + 1j * jnp.pi / delta))
+                                   for kern, delta, q in zip(kernels, self.delta, qs)], dtype=jnp.float64)
+        else:
+            self.lnxy = jnp.log(jnp.asarray(xy, dtype=jnp.float64)) + self.delta
+
+        self.y = jnp.exp(self.lnxy - self.delta)[:, None] / self.x[:, ::-1]
+
+        m = jnp.arange(0, self.padded_size // 2 + 1)
+        self.padded_x = pad(self.x, (self.padded_size_in_left, self.padded_size_in_right), axis=-1, extrap='log')
+        self.padded_y = pad(self.y, (self.padded_size_out_left, self.padded_size_out_right), axis=-1, extrap='log')
+
+        padded_u, padded_prefactor, padded_postfactor = [], [], []
+        prev = (None, None, None, None)
+        for kern, px, py, lnxy, delta, q in zip(kernels, self.padded_x, self.padded_y, self.lnxy, self.delta, qs):
+            padded_prefactor.append(px ** (-q))
+            padded_postfactor.append(py ** (-q))
+            # Mellin coefficients can be reused across rows when the kernel,
+            # tilt and x-grid spacing coincide (x broadcast from 1D).
+            if shared_x and kern == prev[0] and q == prev[1]:
+                u = prev[3]
+            else:
+                u = kern(q + 2j * jnp.pi / self.padded_size / delta * m)
+                prev = (kern, q, delta, u)
+            padded_u.append(u * jnp.exp(-2j * jnp.pi * lnxy / self.padded_size / delta * m))
+        self.padded_u = jnp.stack(padded_u)
+        self.padded_prefactor = jnp.stack(padded_prefactor)
+        self.padded_postfactor = jnp.stack(padded_postfactor)
+
+    def __call__(self, fun, extrap=0, keep_padding=False):
+        """Transform ``fun`` whose last axes broadcast against
+        (nparallel, size); returns (y, transformed)."""
+        fun = jnp.asarray(fun)
+        padded_fun = pad(fun, (self.padded_size_in_left, self.padded_size_in_right), axis=-1, extrap=extrap)
+        spectrum = jnp.fft.rfft(padded_fun * self.padded_prefactor, axis=-1)
+        out = jnp.fft.irfft((spectrum * self.padded_u).conj(), n=self.padded_size, axis=-1) * self.padded_postfactor
+        if not keep_padding:
+            y = self.y
+            out = out[..., self.padded_size_out_left:self.padded_size_out_left + self.size]
+        else:
+            y = self.padded_y
+        if not self.inparallel:
+            y = y[0]
+            out = jnp.reshape(out, fun.shape if not keep_padding else fun.shape[:-1] + (self.padded_size,))
+        return y, out
+
+    def inv(self):
+        """Swap the direction of the transform in place."""
+        self.x, self.y = self.y, self.x
+        self.padded_x, self.padded_y = self.padded_y, self.padded_x
+        self.padded_prefactor, self.padded_postfactor = 1 / self.padded_postfactor, 1 / self.padded_prefactor
+        self.padded_u = 1 / self.padded_u.conj()
+
+    def tree_flatten(self):
+        children = (self.x, self.y, self.delta, self.lnxy, self.padded_x, self.padded_y,
+                    self.padded_u, self.padded_prefactor, self.padded_postfactor)
+        aux = {name: getattr(self, name) for name in
+               ['inparallel', 'padded_size', 'padded_size_in_left', 'padded_size_in_right',
+                'padded_size_out_left', 'padded_size_out_right']}
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        new = cls.__new__(cls)
+        new.__dict__.update(aux)
+        (new.x, new.y, new.delta, new.lnxy, new.padded_x, new.padded_y,
+         new.padded_u, new.padded_prefactor, new.padded_postfactor) = children
+        return new
+
+
+@jax.tree_util.register_pytree_node_class
+class HankelTransform(FFTlog):
+    """Hankel transform (Bessel-J kernels)."""
+
+    def __init__(self, x, nu=0, **kwargs):
+        kernel = BesselJKernel(nu) if np.ndim(nu) == 0 else [BesselJKernel(n) for n in nu]
+        FFTlog.__init__(self, x, kernel, **kwargs)
+        self.padded_prefactor = self.padded_prefactor * self.padded_x ** 2
+
+
+@jax.tree_util.register_pytree_node_class
+class PowerToCorrelation(FFTlog):
+    r"""P(k) -> xi_ell(s): :math:`\xi_\ell(s) = \frac{(-i)^\ell}{2\pi^2}
+    \int dk\,k^2 P_\ell(k) j_\ell(ks)`."""
+
+    def __init__(self, k, ell=0, q=0, complex=False, **kwargs):
+        kernel = SphericalBesselJKernel(ell) if np.ndim(ell) == 0 else [SphericalBesselJKernel(l) for l in ell]
+        FFTlog.__init__(self, k, kernel, q=1.5 + q, **kwargs)
+        self.padded_prefactor = self.padded_prefactor * self.padded_x ** 3 / (2 * np.pi) ** 1.5
+        ell = np.atleast_1d(ell)
+        if complex:
+            phase = (-1j) ** ell
+        else:
+            # real inputs: the imaginary part of odd multipoles is provided
+            phase = (-1) ** (ell // 2)
+        self.padded_postfactor = self.padded_postfactor * phase[:, None]
+
+
+@jax.tree_util.register_pytree_node_class
+class CorrelationToPower(FFTlog):
+    r"""xi_ell(s) -> P_ell(k): :math:`P_\ell(k) = 4\pi i^\ell \int ds\,s^2
+    \xi_\ell(s) j_\ell(ks)`."""
+
+    def __init__(self, s, ell=0, q=0, complex=False, **kwargs):
+        kernel = SphericalBesselJKernel(ell) if np.ndim(ell) == 0 else [SphericalBesselJKernel(l) for l in ell]
+        FFTlog.__init__(self, s, kernel, q=1.5 + q, **kwargs)
+        self.padded_prefactor = self.padded_prefactor * self.padded_x ** 3 * (2 * np.pi) ** 1.5
+        ell = np.atleast_1d(ell)
+        if complex:
+            phase = (1j) ** ell
+        else:
+            phase = (-1) ** (ell // 2)
+        self.padded_postfactor = self.padded_postfactor * phase[:, None]
+
+
+@jax.tree_util.register_pytree_node_class
+class TophatVariance(FFTlog):
+    r"""P(k) -> sigma^2(r) with a 3D tophat window: the transform returns
+    :math:`\frac{1}{2\pi^2}\int dk\,k^2 P(k) W^2(kr)`."""
+
+    def __init__(self, k, q=0, **kwargs):
+        kernel = TophatSqKernel(ndim=3)
+        FFTlog.__init__(self, k, kernel, q=1.5 + q, **kwargs)
+        self.padded_prefactor = self.padded_prefactor * self.padded_x ** 3 / (2 * np.pi ** 2)
+
+
+@jax.tree_util.register_pytree_node_class
+class GaussianVariance(FFTlog):
+    """P(k) -> sigma^2(r) with a Gaussian window."""
+
+    def __init__(self, k, q=0, **kwargs):
+        kernel = GaussianSqKernel()
+        FFTlog.__init__(self, k, kernel, q=1.5 + q, **kwargs)
+        self.padded_prefactor = self.padded_prefactor * self.padded_x ** 3 / (2 * np.pi ** 2)
