@@ -40,9 +40,14 @@ _default_extrap_kmax = 1e2
 
 def _pad_log(k, pk, extrap_kmin=_default_extrap_kmin, extrap_kmax=_default_extrap_kmax):
     """Pad (log10 k, log10 pk) with two points per side continuing the edge
-    power law out to the extrapolation range (reference interpolator.py:42-87)."""
+    power law out to the extrapolation range (reference interpolator.py:42-87).
+
+    Non-positive pk values (e.g. FFT ringing in xi -> pk inversions at
+    extreme k) are floored at a tiny positive value: our natural cubic
+    splines are global solves, so a single NaN knot would poison the whole
+    table rather than stay local."""
     logk = jnp.log10(k)
-    logpk = jnp.log10(pk)
+    logpk = jnp.log10(jnp.maximum(pk, 1e-250))
     lo = jnp.log10(jnp.minimum(extrap_kmin, k[0] * (1 - 1e-9)))
     hi = jnp.log10(jnp.maximum(extrap_kmax, k[-1] * (1 + 1e-9)))
 
@@ -280,7 +285,7 @@ class PowerSpectrumInterpolator1D(_BaseInterpolator):
 
     def to_xi(self, nk=1024, fftlog_kwargs=None, **kwargs):
         """P(k) -> xi(s) via FFTLog; returns CorrelationFunctionInterpolator1D."""
-        k = jnp.geomspace(self.extrap_kmin, self.extrap_kmax, nk)
+        k = jnp.clip(jnp.geomspace(self.extrap_kmin, self.extrap_kmax, nk), self.extrap_kmin, self.extrap_kmax)
         s, xi = PowerToCorrelation(k, complex=False, **(fftlog_kwargs or {}))(self(k).T)
         default_params = dict(interp_s='log', interp_order_s=self.interp_order_k)
         default_params.update(kwargs)
@@ -469,7 +474,7 @@ class PowerSpectrumInterpolator2D(_BaseInterpolator):
 
     def to_xi(self, nk=1024, fftlog_kwargs=None, **kwargs):
         """P(k, z) -> xi(s, z) via one batched FFTLog over the z-axis."""
-        k = jnp.geomspace(self.extrap_kmin, self.extrap_kmax, nk)
+        k = jnp.clip(jnp.geomspace(self.extrap_kmin, self.extrap_kmax, nk), self.extrap_kmin, self.extrap_kmax)
         s, xi = PowerToCorrelation(k, complex=False, **(fftlog_kwargs or {}))(self(k, z=self.z, ignore_growth=True).T)
         default_params = dict(interp_s='log', interp_order_s=self.interp_order_k,
                               interp_order_z=self.interp_order_z, growth_factor_sq=self.growth_factor_sq)
@@ -558,7 +563,7 @@ class CorrelationFunctionInterpolator1D(_BaseInterpolator):
 
     def to_pk(self, ns=1024, fftlog_kwargs=None, **kwargs):
         """xi(s) -> P(k) via FFTLog."""
-        s = jnp.geomspace(self.smin, self.smax, ns)
+        s = jnp.clip(jnp.geomspace(self.smin, self.smax, ns), self.smin, self.smax)
         k, pk = CorrelationToPower(s, complex=False, **(fftlog_kwargs or {}))(self(s))
         default_params = dict(interp_k='log', interp_order_k=self.interp_order_s)
         default_params.update(kwargs)
@@ -704,7 +709,7 @@ class CorrelationFunctionInterpolator2D(_BaseInterpolator):
 
     def to_pk(self, ns=1024, fftlog_kwargs=None, **kwargs):
         """xi(s, z) -> P(k, z) via one batched FFTLog over the z-axis."""
-        s = jnp.geomspace(self.smin, self.smax, ns)
+        s = jnp.clip(jnp.geomspace(self.smin, self.smax, ns), self.smin, self.smax)
         k, pk = CorrelationToPower(s, complex=False, **(fftlog_kwargs or {}))(self(s, self.z, ignore_growth=True).T)
         default_params = dict(interp_k='log', extrap_pk='log', interp_order_k=self.interp_order_s,
                               interp_order_z=self.interp_order_z, growth_factor_sq=self.growth_factor_sq)
