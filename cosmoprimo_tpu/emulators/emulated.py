@@ -1,0 +1,441 @@
+"""Emulated cosmology engine: serve trained emulator predictions back
+through the standard section API ('emulated', plus the pretrained 'capse'
+and 'cosmopower_bolliet2023' entry points).
+
+Reference parity: emulators/emulated.py. Sections rebuild callables from
+the predicted vectors: Background via splines over the default z-grid,
+Fourier via PowerSpectrumInterpolator2D over the predicted (k, z) tables,
+Harmonic as Cl dictionaries. Everything stays jnp so lensed_cl etc. are
+jacfwd-differentiable end to end (BASELINE config #5).
+"""
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import utils
+from ..cosmology import (BaseBackground, BaseEngine, BaseSection, CosmologyError, find_conflicts,
+                         register_engine, register_section)
+from ..interpolator import PowerSpectrumInterpolator1D, PowerSpectrumInterpolator2D
+from ..ops import Interpolator1D, flatarray
+
+
+def get_default_k_callable():
+    k = np.concatenate([np.array([1e-6]),
+                        np.logspace(-5, -4, num=20, endpoint=False),
+                        np.logspace(-4, -3, num=40, endpoint=False),
+                        np.logspace(-3, -2, num=60, endpoint=False),
+                        np.logspace(-2, -1, num=80, endpoint=False),
+                        np.logspace(-1, 0, num=100, endpoint=False),
+                        np.logspace(0, 1, num=120, endpoint=True),
+                        np.array([1e2])])
+    return k
+
+
+def get_default_z_callable(key='fourier', non_linear=False):
+    if 'background' in key:
+        return 1.0 / np.logspace(-3, 0.0, 256)[::-1] - 1.0
+    z = np.linspace(0.0, 10.0 ** 0.5, 30) ** 2
+    if non_linear:
+        return z[z < 2.0]
+    return z
+
+
+@register_engine
+class EmulatedEngine(BaseEngine):
+    """Engine backed by a trained :class:`Emulator` (local file path(s);
+    downloads are not available in this zero-egress build — place the
+    emulator file at ``path`` or set COSMOPRIMO_EMULATOR_DIR)."""
+
+    name = 'emulated'
+    path = None
+
+    def __init__(self, cosmo, **extra_params):
+        super().__init__(cosmo, **extra_params)
+        emulator = getattr(self.__class__, '_emulator', None)
+        if emulator is None:
+            from .base import Emulator
+            emulator = Emulator()
+            paths = self.path if isinstance(self.path, dict) else {str(self.path): None}
+            for path, url in paths.items():
+                if not os.path.exists(path):
+                    raise CosmologyError(
+                        f'Emulator file {path} not found. This build has no network egress: download '
+                        f'{url or "the emulator"} elsewhere and point `path` or COSMOPRIMO_EMULATOR_DIR at it.')
+                other = Emulator.read(path)
+                emulator.yoperations += other.yoperations
+                emulator.engines.update(other.engines)
+                emulator.defaults.update(other.defaults)
+                emulator.fixed.update(other.fixed)
+                emulator.xoperations += other.xoperations
+            self.__class__._emulator = emulator
+        self._emulator = emulator
+
+        self._A_s = self._get_A_s_fid()
+        self._sigma8 = self._get_sigma8_fid()
+        self._needs_rescale = None
+
+        params, requires = {}, []
+        for engine in emulator.engines.values():
+            for param in engine.params:
+                if param == 'z':
+                    requires.append(engine)
+                    continue
+                if param in params:
+                    continue
+                try:
+                    params[param] = self[param]
+                except CosmologyError:
+                    if param == 'sigma8':  # cosmology gives A_s, emulator wants sigma8
+                        params[param] = self._sigma8
+                        self._needs_rescale = 'A_s'
+                    elif 'A_s' in find_conflicts(param):  # cosmology gives sigma8, emulator wants A_s
+                        params[param] = self._A_s if param == 'A_s' else jnp.log(1e10 * self._A_s)
+                        self._needs_rescale = 'sigma8'
+        if 'm_ncdm' in params:
+            params['m_ncdm'] = self['m_ncdm_tot']
+
+        params = {**emulator.defaults, **params}
+        for operation in emulator.xoperations:
+            params = operation(params)
+
+        def predict(section):
+            fixed = {name: value for name, value in emulator.fixed.items() if name.startswith(section + '.')}
+            base_predict = {}
+            requires_predict = []
+            for name, engine in emulator.engines.items():
+                if name.startswith(section + '.'):
+                    if engine in requires:
+                        requires_predict.append(name)
+                    else:
+                        base_predict[name] = engine.predict(params)
+
+            def finalize(predict):
+                predict = {**fixed, **predict}
+                X = dict(self._params)
+                for operation in emulator.yoperations[::-1]:
+                    try:
+                        predict = operation.inverse(predict, X=X)
+                    except KeyError:
+                        pass
+                return {name[len(section) + 1:]: value for name, value in predict.items()}
+
+            if requires_predict:
+                def predict_z(**req):
+                    req = {**params, **req}
+                    for name in requires_predict:
+                        base_predict[name] = emulator.engines[name].predict(req)
+                    return finalize(base_predict)
+                return predict_z
+
+            return finalize(base_predict)
+
+        self._predict = predict
+
+    @classmethod
+    def read(cls, filename):
+        """Return an engine subclass bound to ``filename``."""
+
+        class _EmulatedEngine(cls):
+            path = filename
+            __module__ = cls.__module__
+        _EmulatedEngine.name = cls.name
+        return _EmulatedEngine
+
+    def _rescale_sigma8(self):
+        if self._rsigma8 is not None:
+            return self._rsigma8
+        self._rsigma8 = 1.0
+        if self._needs_rescale == 'sigma8':
+            self._sections.pop('fourier', None)
+            self._rsigma8 = self._params['sigma8'] / self.get_section('fourier').sigma8_m
+            self._sections.pop('fourier', None)
+        elif self._needs_rescale == 'A_s':
+            self._sections.pop('fourier', None)
+            self._rsigma8 = (self._params['A_s'] / self.get_section('primordial').A_s) ** 0.5
+            self._sections.pop('fourier', None)
+        return self._rsigma8
+
+
+@register_section
+class Background(BaseBackground):
+    """Background quantities from emulated tables (splined over the default
+    background z-grid)."""
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self.__setstate__(engine._predict(section='background'))
+
+    @flatarray()
+    def rho_ncdm(self, z, species=None):
+        out = self._state['rho_ncdm'](z).T
+        return out[species if species is not None else slice(None)]
+
+    @flatarray()
+    def p_ncdm(self, z, species=None):
+        out = self._state['p_ncdm'](z).T
+        return out[species if species is not None else slice(None)]
+
+    @flatarray()
+    def rho_fld(self, z):
+        return self._state['rho_fld'](z)
+
+    @flatarray()
+    def time(self, z):
+        return self._state['time'](z)
+
+    @flatarray()
+    def comoving_radial_distance(self, z):
+        return self._state['comoving_radial_distance'](z)
+
+    @flatarray()
+    def growth_factor(self, z, znorm=None):
+        growthz = self._state['growth_factor'](z)
+        if znorm is not None:
+            return (1.0 + znorm) * growthz
+        return growthz / self._state['growth_factor'](jnp.zeros(1))[0]
+
+    @flatarray()
+    def growth_rate(self, z):
+        return self._state['growth_rate'](z)
+
+    def __getstate__(self):
+        state = {'z': get_default_z_callable('background')}
+        z = state['z']
+        for name in ['rho_ncdm', 'p_ncdm', 'rho_fld', 'time', 'comoving_radial_distance',
+                     'growth_factor', 'growth_rate']:
+            try:
+                state[name] = np.asarray(getattr(self, name)(z))
+            except (AttributeError, NotImplementedError, CosmologyError):
+                pass
+        return state
+
+    def __setstate__(self, state):
+        state = dict(state)
+        z = state.pop('z')
+        self._state = {name: Interpolator1D(z, jnp.asarray(value).T, assume_sorted=True)
+                       for name, value in state.items()}
+
+
+@register_section
+@utils.addproperty('rs_drag', 'z_drag', 'rs_star', 'z_star', 'YHe')
+class Thermodynamics(BaseSection):
+    """Thermodynamics scalars from the emulator."""
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self.__setstate__(engine._predict(section='thermodynamics'))
+
+    def __getstate__(self):
+        return {name: getattr(self, name) for name in ['rs_drag', 'z_drag', 'rs_star', 'z_star', 'YHe']
+                if hasattr(self, '_' + name)}
+
+    def __setstate__(self, state):
+        for name in ['rs_drag', 'z_drag', 'rs_star', 'z_star', 'YHe']:
+            setattr(self, '_' + name, state.get(name, None))
+
+
+@register_section
+@utils.addproperty('k_pivot', 'n_s', 'alpha_s', 'beta_s')
+class Primordial(BaseSection):
+    """Primordial spectrum with emulated A_s."""
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self.__setstate__(engine._predict(section='primordial'))
+        self._h = engine['h']
+        self._n_s = engine['n_s']
+        self._alpha_s = engine['alpha_s']
+        self._beta_s = engine['beta_s']
+        self._k_pivot = engine['k_pivot'] / self._h
+        self._rsigma8 = engine._rescale_sigma8()
+
+    @property
+    def A_s(self):
+        return self._state['A_s'] * self._rsigma8 ** 2
+
+    @property
+    def ln_1e10_A_s(self):
+        return jnp.log(1e10 * self.A_s)
+
+    def pk_k(self, k, mode='scalar'):
+        lnkkp = jnp.log(k / self.k_pivot)
+        return self._h ** 3 * self.A_s * (k / self.k_pivot) ** (
+            self.n_s - 1.0 + 0.5 * self.alpha_s * lnkkp + self.beta_s * lnkkp ** 2 / 6.0)
+
+    def pk_interpolator(self, mode='scalar'):
+        return PowerSpectrumInterpolator1D.from_callable(pk_callable=lambda k: self.pk_k(k, mode=mode))
+
+    def __getstate__(self):
+        return {'A_s': self.A_s}
+
+    def __setstate__(self, state):
+        self._state = dict(state)
+
+
+class cl_table(dict):
+    """Dict-of-arrays Cl container mimicking a structured array
+    (reference's fake_nparray; keys 'ell', 'tt', 'ee', ...)."""
+
+    @property
+    def size(self):
+        for value in self.values():
+            return value.size
+        return 0
+
+    def __getitem__(self, name):
+        if isinstance(name, str):
+            return super().__getitem__(name)
+        return self.__class__({key: self[key][name] for key in self})
+
+
+@register_section
+class Harmonic(BaseSection):
+    """CMB angular power spectra from the emulator."""
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self._rsigma8 = engine._rescale_sigma8()
+        self.__setstate__(engine._predict(section='harmonic'))
+        self.ellmax_cl = engine['ellmax_cl']
+
+    def unlensed_cl(self, ellmax=-1):
+        if ellmax < 0:
+            ellmax = self.ellmax_cl + 1 + ellmax
+        return self._state['unlensed_cl'][slice(0, ellmax + 1)]
+
+    def lens_potential_cl(self, ellmax=-1):
+        if ellmax < 0:
+            ellmax = self.ellmax_cl + 1 + ellmax
+        return self._state['lens_potential_cl'][slice(0, ellmax + 1)]
+
+    def lensed_cl(self, ellmax=-1):
+        if ellmax < 0:
+            ellmax = self.ellmax_cl + 1 + ellmax
+        return self._state['lensed_cl'][slice(0, ellmax + 1)]
+
+    def __getstate__(self):
+        state = {}
+        for name in ['unlensed_cl', 'lens_potential_cl', 'lensed_cl']:
+            try:
+                table = getattr(self, name)()
+            except Exception:
+                continue
+            keys = table.dtype.names if hasattr(table, 'dtype') else table.keys()
+            for key in keys:
+                if key != 'ell':
+                    state[f'{name}.{key}'] = np.asarray(table[key])
+        return state
+
+    def __setstate__(self, state):
+        self._state = {}
+        tables = {}
+        for keyname, value in state.items():
+            name, key = keyname.split('.')
+            tables.setdefault(name, {})[key] = value
+        for name, value in tables.items():
+            keys = list(value)
+            table = cl_table()
+            for key in keys:
+                table[key] = jnp.asarray(value[key]) * self._rsigma8 ** 2
+            table['ell'] = np.arange(np.shape(value[keys[0]])[-1])
+            self._state[name] = table
+
+
+def _of_tuple(of, size=2):
+    if isinstance(of, str):
+        of = (of,)
+    of = list(of)
+    of = of + [of[0]] * (size - len(of))
+    return tuple(sorted(of))
+
+
+@register_section
+class Fourier(BaseSection):
+    """Power spectrum tables from the emulator."""
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self._callable = False
+        state = engine._predict(section='fourier')
+        if callable(state):
+            self._callable = state
+        else:
+            self.__setstate__(state)
+        self._h = engine['h']
+        self._rsigma8 = engine._rescale_sigma8()
+
+    @property
+    def sigma8_m(self):
+        if not hasattr(self, '_sigma8_m'):
+            self._sigma8_m = self.sigma8_z(0.0, of='delta_m')
+        return self._sigma8_m
+
+    def sigma_rz(self, r, z, of='delta_m', **kwargs):
+        return self.pk_interpolator(non_linear=False, of=of, **kwargs).sigma_rz(r, z)
+
+    def sigma8_z(self, z, of='delta_m'):
+        return self.sigma_rz(8.0, z, of=of)
+
+    def table(self, non_linear=False, of='delta_m'):
+        of = _of_tuple(of)
+        suffix = '_non_linear' if non_linear else ''
+        return (self._state['k'], self._state['z' + suffix],
+                self._state['pk' + suffix][of] * self._rsigma8 ** 2)
+
+    def pk_interpolator(self, non_linear=False, of='delta_m', **kwargs):
+        ka, za, pka = self.table(non_linear=non_linear, of=of)
+        return PowerSpectrumInterpolator2D(ka, za, pka.T if np.shape(pka)[0] != np.shape(ka)[0] else pka, **kwargs)
+
+    def pk_kz(self, k, z, non_linear=False, of='delta_m'):
+        return self.pk_interpolator(non_linear=non_linear, of=of)(k, z)
+
+    def __getstate__(self):
+        state = {'k': get_default_k_callable(), 'z': get_default_z_callable()}
+        k, z = state['k'], state['z']
+        ofs = ['delta_cb', 'delta_m', 'theta_cb', 'theta_m']
+        done = set()
+        for of1 in ofs:
+            for of2 in ofs:
+                of = tuple(sorted((of1, of2)))
+                if of in done:
+                    continue
+                done.add(of)
+                try:
+                    state['pk.{}.{}'.format(*of)] = np.asarray(
+                        self.pk_interpolator(non_linear=False, of=of)(k, z))
+                except Exception:
+                    pass
+        return state
+
+    def __setstate__(self, state):
+        self._state = {}
+        for keyname, value in state.items():
+            if keyname.startswith('pk'):
+                name, *keys = keyname.split('.')
+                self._state.setdefault(name, {})
+                self._state[name][tuple(keys)] = jnp.asarray(value)
+            else:
+                self._state[keyname] = value
+
+
+@register_engine
+class CAPSEEngine(EmulatedEngine):
+    """Capse.jl pretrained Cl emulator (arXiv:2307.14339); requires the
+    converted emulator file locally (no egress)."""
+
+    name = 'capse'
+    path = os.path.join(os.getenv('COSMOPRIMO_EMULATOR_DIR', os.path.join(os.path.expanduser('~'), '.cosmoprimo', 'emulators')),
+                        'capse', 'emulator.npy')
+
+
+@register_engine
+class CosmopowerBolliet2023Engine(EmulatedEngine):
+    """cosmopower pretrained emulator (Bolliet et al. 2023); requires the
+    converted emulator file locally (no egress)."""
+
+    name = 'cosmopower_bolliet2023'
+    path = os.path.join(os.getenv('COSMOPRIMO_EMULATOR_DIR', os.path.join(os.path.expanduser('~'), '.cosmoprimo', 'emulators')),
+                        'cosmopower_bolliet2023', 'emulator.npy')

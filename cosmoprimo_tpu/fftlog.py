@@ -19,12 +19,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.fft import irfft_pair, rfft_pair
 from .ops.special import gamma as _gamma, loggamma as _loggamma
+
+
+def _is_traced(*arrays):
+    return any(isinstance(a, jax.core.Tracer) for a in arrays)
 
 
 # ----------------------------------------------------------------------------
 # Mellin transforms of kernels: U_K(z) = \int_0^\infty t^{z-1} K(t) dt
 # ----------------------------------------------------------------------------
+
+def _kernel_backend(z):
+    """numpy for host-side setup (TPU has no complex128), jnp when traced."""
+    if _is_traced(z) or isinstance(z, jnp.ndarray):
+        return jnp, jnp.asarray(z, dtype=jnp.complex128)
+    return np, np.asarray(z, dtype=np.complex128)
+
 
 class BaseKernel(object):
     """Base Mellin kernel."""
@@ -46,8 +58,8 @@ class BesselJKernel(BaseKernel):
         return other.__class__ == self.__class__ and other.nu == self.nu
 
     def eval(self, z):
-        z = jnp.asarray(z, dtype=jnp.complex128)
-        return jnp.exp(jnp.log(2.0) * (z - 1) + _loggamma(0.5 * (self.nu + z)) - _loggamma(0.5 * (2 + self.nu - z)))
+        xp, z = _kernel_backend(z)
+        return xp.exp(xp.log(2.0) * (z - 1) + _loggamma(0.5 * (self.nu + z)) - _loggamma(0.5 * (2 + self.nu - z)))
 
 
 class SphericalBesselJKernel(BaseKernel):
@@ -60,8 +72,8 @@ class SphericalBesselJKernel(BaseKernel):
         return other.__class__ == self.__class__ and other.nu == self.nu
 
     def eval(self, z):
-        z = jnp.asarray(z, dtype=jnp.complex128)
-        return jnp.exp(jnp.log(2.0) * (z - 1.5) + _loggamma(0.5 * (self.nu + z)) - _loggamma(0.5 * (3 + self.nu - z)))
+        xp, z = _kernel_backend(z)
+        return xp.exp(xp.log(2.0) * (z - 1.5) + _loggamma(0.5 * (self.nu + z)) - _loggamma(0.5 * (3 + self.nu - z)))
 
 
 class TophatKernel(BaseKernel):
@@ -74,9 +86,9 @@ class TophatKernel(BaseKernel):
         return other.__class__ == self.__class__ and other.ndim == self.ndim
 
     def eval(self, z):
-        z = jnp.asarray(z, dtype=jnp.complex128)
-        return jnp.exp(jnp.log(2.0) * (z - 1) + _loggamma(1 + 0.5 * self.ndim)
-                       + _loggamma(0.5 * z) - _loggamma(0.5 * (2 + self.ndim - z)))
+        xp, z = _kernel_backend(z)
+        return xp.exp(xp.log(2.0) * (z - 1) + _loggamma(1 + 0.5 * self.ndim)
+                      + _loggamma(0.5 * z) - _loggamma(0.5 * (2 + self.ndim - z)))
 
 
 class TophatSqKernel(BaseKernel):
@@ -89,31 +101,31 @@ class TophatSqKernel(BaseKernel):
         return other.__class__ == self.__class__ and other.ndim == self.ndim
 
     def eval(self, z):
-        z = jnp.asarray(z, dtype=jnp.complex128)
+        xp, z = _kernel_backend(z)
         if self.ndim == 1:
-            return -0.25 * jnp.sqrt(jnp.pi) * jnp.exp(_loggamma(0.5 * (z - 2)) - _loggamma(0.5 * (3 - z)))
+            return -0.25 * xp.sqrt(xp.pi) * xp.exp(_loggamma(0.5 * (z - 2)) - _loggamma(0.5 * (3 - z)))
         if self.ndim == 3:
-            return (2.25 * jnp.sqrt(jnp.pi) * (z - 2) / (z - 6)
-                    * jnp.exp(_loggamma(0.5 * (z - 4)) - _loggamma(0.5 * (5 - z))))
-        return jnp.exp(jnp.log(2.0) * (self.ndim - 1) + 2 * _loggamma(1 + 0.5 * self.ndim)
-                       + _loggamma(0.5 * (1 + self.ndim - z)) + _loggamma(0.5 * z)
-                       - _loggamma(1 + self.ndim - 0.5 * z) - _loggamma(0.5 * (2 + self.ndim - z))) / jnp.sqrt(jnp.pi)
+            return (2.25 * xp.sqrt(xp.pi) * (z - 2) / (z - 6)
+                    * xp.exp(_loggamma(0.5 * (z - 4)) - _loggamma(0.5 * (5 - z))))
+        return xp.exp(xp.log(2.0) * (self.ndim - 1) + 2 * _loggamma(1 + 0.5 * self.ndim)
+                      + _loggamma(0.5 * (1 + self.ndim - z)) + _loggamma(0.5 * z)
+                      - _loggamma(1 + self.ndim - 0.5 * z) - _loggamma(0.5 * (2 + self.ndim - z))) / xp.sqrt(xp.pi)
 
 
 class GaussianKernel(BaseKernel):
     """Mellin transform of the Gaussian window."""
 
     def eval(self, z):
-        z = jnp.asarray(z, dtype=jnp.complex128)
-        return 2 ** (0.5 * z - 1) * jnp.exp(_loggamma(0.5 * z))
+        xp, z = _kernel_backend(z)
+        return 2 ** (0.5 * z - 1) * xp.exp(_loggamma(0.5 * z))
 
 
 class GaussianSqKernel(BaseKernel):
     """Mellin transform of the squared Gaussian window."""
 
     def eval(self, z):
-        z = jnp.asarray(z, dtype=jnp.complex128)
-        return 0.5 * jnp.exp(_loggamma(0.5 * z))
+        xp, z = _kernel_backend(z)
+        return 0.5 * xp.exp(_loggamma(0.5 * z))
 
 
 # ----------------------------------------------------------------------------
@@ -184,22 +196,28 @@ class FFTlog(object):
     ``q = 1.5`` tilts for the standard pk <-> xi transforms.
     """
 
-    def __init__(self, x, kernel, q=0, minfolds=2, lowring=True, xy=1, check_level=0, engine='jax', **engine_kwargs):
+    def __init__(self, x, kernel, q=0, minfolds=2, lowring=True, xy=1, check_level=0, engine='auto', **engine_kwargs):
         self.inparallel = isinstance(kernel, (tuple, list))
+        self.engine = str(engine)
         kernels = list(kernel) if self.inparallel else [kernel]
         nk = len(kernels)
         if np.ndim(q) == 0:
             q = [q] * nk
         if np.ndim(xy) == 0:
             xy = [xy] * nk
-        x = jnp.asarray(x, dtype=jnp.float64)
+        # Host-side numpy setup whenever the grid is concrete: the Mellin
+        # coefficients need complex128, which TPU lacks; they depend only on
+        # the (static) grid and kernels, so they are computed once on host
+        # and shipped as float64 pairs.
+        xp = jnp if _is_traced(x) else np
+        x = xp.asarray(x, dtype=xp.float64)
         shared_x = x.ndim == 1
         if not self.inparallel:
             x = x[None, :]
         elif x.ndim == 1:
-            x = jnp.tile(x[None, :], (nk, 1))
+            x = xp.tile(x[None, :], (nk, 1))
         self.x = x
-        self._setup(kernels, list(q), minfolds=minfolds, lowring=lowring, xy=list(xy), shared_x=shared_x)
+        self._setup(xp, kernels, list(q), minfolds=minfolds, lowring=lowring, xy=list(xy), shared_x=shared_x)
 
     @property
     def nparallel(self):
@@ -209,9 +227,9 @@ class FFTlog(object):
     def size(self):
         return self.x.shape[-1]
 
-    def _setup(self, kernels, qs, minfolds=2, lowring=True, xy=1.0, shared_x=True):
+    def _setup(self, xp, kernels, qs, minfolds=2, lowring=True, xy=1.0, shared_x=True):
         size = self.size
-        self.delta = jnp.log(self.x[:, -1] / self.x[:, 0]) / (size - 1)
+        self.delta = xp.log(self.x[:, -1] / self.x[:, 0]) / (size - 1)
 
         nfolds = (size * minfolds - 1).bit_length()
         self.padded_size = 2 ** nfolds
@@ -220,16 +238,16 @@ class FFTlog(object):
         self.padded_size_out_left, self.padded_size_out_right = npad - npad // 2, npad // 2
 
         if lowring:
-            self.lnxy = jnp.array([delta / jnp.pi * jnp.angle(kern(q + 1j * jnp.pi / delta))
-                                   for kern, delta, q in zip(kernels, self.delta, qs)], dtype=jnp.float64)
+            self.lnxy = xp.array([delta / xp.pi * xp.angle(kern(q + 1j * xp.pi / delta))
+                                  for kern, delta, q in zip(kernels, self.delta, qs)], dtype=xp.float64)
         else:
-            self.lnxy = jnp.log(jnp.asarray(xy, dtype=jnp.float64)) + self.delta
+            self.lnxy = xp.log(xp.asarray(xy, dtype=xp.float64)) + self.delta
 
-        self.y = jnp.exp(self.lnxy - self.delta)[:, None] / self.x[:, ::-1]
+        self.y = xp.exp(self.lnxy - self.delta)[:, None] / self.x[:, ::-1]
 
-        m = jnp.arange(0, self.padded_size // 2 + 1)
-        self.padded_x = pad(self.x, (self.padded_size_in_left, self.padded_size_in_right), axis=-1, extrap='log')
-        self.padded_y = pad(self.y, (self.padded_size_out_left, self.padded_size_out_right), axis=-1, extrap='log')
+        m = xp.arange(0, self.padded_size // 2 + 1)
+        self.padded_x = _pad_xp(xp, self.x, (self.padded_size_in_left, self.padded_size_in_right))
+        self.padded_y = _pad_xp(xp, self.y, (self.padded_size_out_left, self.padded_size_out_right))
 
         padded_u, padded_prefactor, padded_postfactor = [], [], []
         prev = (None, None, None, None)
@@ -241,25 +259,49 @@ class FFTlog(object):
             if shared_x and kern == prev[0] and q == prev[1]:
                 u = prev[3]
             else:
-                u = kern(q + 2j * jnp.pi / self.padded_size / delta * m)
+                u = kern(q + 2j * xp.pi / self.padded_size / delta * m)
                 prev = (kern, q, delta, u)
-            padded_u.append(u * jnp.exp(-2j * jnp.pi * lnxy / self.padded_size / delta * m))
-        self.padded_u = jnp.stack(padded_u)
-        self.padded_prefactor = jnp.stack(padded_prefactor)
-        self.padded_postfactor = jnp.stack(padded_postfactor)
+            padded_u.append(u * xp.exp(-2j * xp.pi * lnxy / self.padded_size / delta * m))
+        self.padded_u = xp.stack(padded_u)
+        self.padded_prefactor = xp.stack(padded_prefactor)
+        self.padded_postfactor = xp.stack(padded_postfactor)
+
+    def _use_pair_engine(self):
+        if self.engine == 'pair':
+            return True
+        if self.engine == 'auto':
+            return jax.default_backend() == 'tpu'
+        return False
 
     def __call__(self, fun, extrap=0, keep_padding=False):
         """Transform ``fun`` whose last axes broadcast against
-        (nparallel, size); returns (y, transformed)."""
+        (nparallel, size); returns (y, transformed).
+
+        The FFT engine is chosen per backend: XLA's native complex FFT where
+        complex128 exists, the float64 real-pair FFT (ops/fft.py) on TPU.
+        """
         fun = jnp.asarray(fun)
         padded_fun = pad(fun, (self.padded_size_in_left, self.padded_size_in_right), axis=-1, extrap=extrap)
-        spectrum = jnp.fft.rfft(padded_fun * self.padded_prefactor, axis=-1)
-        out = jnp.fft.irfft((spectrum * self.padded_u).conj(), n=self.padded_size, axis=-1) * self.padded_postfactor
+        prefactor = jnp.asarray(self.padded_prefactor)
+        postfactor = jnp.asarray(self.padded_postfactor)
+        u = np.asarray(self.padded_u) if not _is_traced(self.padded_u) else self.padded_u
+        if self._use_pair_engine():
+            if jnp.iscomplexobj(postfactor):
+                raise NotImplementedError('complex postfactors (complex=True multipoles) require a backend with complex128')
+            u_re = jnp.asarray(np.real(u)) if isinstance(u, np.ndarray) else jnp.real(u)
+            u_im = jnp.asarray(np.imag(u)) if isinstance(u, np.ndarray) else jnp.imag(u)
+            sr, si = rfft_pair(padded_fun * prefactor)
+            tr = sr * u_re - si * u_im
+            ti = sr * u_im + si * u_re
+            out = irfft_pair(tr, -ti, n=self.padded_size) * postfactor
+        else:
+            spectrum = jnp.fft.rfft(padded_fun * prefactor, axis=-1)
+            out = jnp.fft.irfft((spectrum * jnp.asarray(u)).conj(), n=self.padded_size, axis=-1) * postfactor
         if not keep_padding:
-            y = self.y
+            y = jnp.asarray(self.y)
             out = out[..., self.padded_size_out_left:self.padded_size_out_left + self.size]
         else:
-            y = self.padded_y
+            y = jnp.asarray(self.padded_y)
         if not self.inparallel:
             y = y[0]
             out = jnp.reshape(out, fun.shape if not keep_padding else fun.shape[:-1] + (self.padded_size,))
@@ -276,7 +318,7 @@ class FFTlog(object):
         children = (self.x, self.y, self.delta, self.lnxy, self.padded_x, self.padded_y,
                     self.padded_u, self.padded_prefactor, self.padded_postfactor)
         aux = {name: getattr(self, name) for name in
-               ['inparallel', 'padded_size', 'padded_size_in_left', 'padded_size_in_right',
+               ['inparallel', 'engine', 'padded_size', 'padded_size_in_left', 'padded_size_in_right',
                 'padded_size_out_left', 'padded_size_out_right']}
         return children, aux
 
@@ -287,6 +329,21 @@ class FFTlog(object):
         (new.x, new.y, new.delta, new.lnxy, new.padded_x, new.padded_y,
          new.padded_u, new.padded_prefactor, new.padded_postfactor) = children
         return new
+
+
+def _pad_xp(xp, array, pad_width):
+    """Log-extrapolating pad along the last axis, backend-generic (used in
+    setup where the arrays may be host numpy)."""
+    if xp is jnp:
+        return pad(array, pad_width, axis=-1, extrap='log')
+    wl, wr = pad_width
+    end_l = array[..., :1]
+    ratio_l = array[..., 1:2] / end_l
+    left = end_l * ratio_l ** np.arange(-wl, 0)
+    end_r = array[..., -1:]
+    ratio_r = array[..., -2:-1] / end_r
+    right = end_r / ratio_r ** np.arange(1, wr + 1)
+    return np.concatenate([left, array, right], axis=-1)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -147,8 +147,8 @@ def integrate_sigma_r2(r, pk, kmin=1e-7, kmax=1e2, method='fftlog', epsabs=1e-5,
         tmp = simpson(integrand(logk), x=logk, axis=0)
     else:  # fftlog
         nk = nk or 1024
-        k = jnp.geomspace(kmin, kmax, nk)
-        s, var = TophatVariance(k)(pk(k).reshape(k.shape + (-1,)).T)
+        k = _static_geomspace(kmin, kmax, nk)
+        s, var = TophatVariance(k)(pk(jnp.asarray(k)).reshape(k.shape + (-1,)).T)
         tmp = (2. * jnp.pi ** 2) * Interpolator1D(s, var.T, assume_sorted=True)(r)
     tmp = jnp.asarray(tmp).reshape(rshape + pshape)
     return (tmp / (2. * jnp.pi ** 2)).astype(dtype)
@@ -158,8 +158,33 @@ def integrate_sigma_r2(r, pk, kmin=1e-7, kmax=1e2, method='fftlog', epsabs=1e-5,
 # Interpolators
 # ----------------------------------------------------------------------------
 
+def _is_traced(*arrays):
+    return any(isinstance(a, jax.core.Tracer) for a in arrays)
+
+
 def _sorted(x):
-    return jnp.sort(jnp.asarray(x, dtype=jnp.float64).ravel())
+    """Sorted 1D grid; stays a host numpy constant when the input is
+    concrete (so extrap bounds remain usable as static floats even inside a
+    jit trace — jnp.asarray would stage the constant as a tracer)."""
+    if _is_traced(x):
+        return jnp.sort(jnp.asarray(x, dtype=jnp.float64).ravel())
+    return np.sort(np.asarray(x, dtype=np.float64).ravel())
+
+
+def _argsorted(x):
+    if _is_traced(x):
+        return jnp.argsort(jnp.asarray(x).ravel())
+    return np.argsort(np.asarray(x).ravel())
+
+
+def _static_geomspace(a, b, n):
+    """Geometric grid built host-side (numpy) when the limits are concrete,
+    so FFTLog setup stays on the host even inside a jit trace (TPU has no
+    complex128; Mellin coefficients are host-precomputed for static grids)."""
+    try:
+        return np.clip(np.geomspace(float(a), float(b), n), float(a), float(b))
+    except (TypeError, jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
+        return jnp.clip(jnp.geomspace(a, b, n), a, b)
 
 
 class _BaseInterpolator(object):
@@ -200,7 +225,7 @@ class PowerSpectrumInterpolator1D(_BaseInterpolator):
                  extrap_kmax=_default_extrap_kmax, interp_order_k=3):
         self._rsigma8sq = 1.0
         self.k = _sorted(k)
-        self._pk = jnp.asarray(pk, dtype=jnp.float64)[jnp.argsort(jnp.asarray(k).ravel())]
+        self._pk = jnp.asarray(pk, dtype=jnp.float64)[_argsorted(k)]
         self.interp_k = str(interp_k)
         self.extrap_pk = str(extrap_pk)
         self.interp_order_k = int(interp_order_k)
@@ -285,8 +310,8 @@ class PowerSpectrumInterpolator1D(_BaseInterpolator):
 
     def to_xi(self, nk=1024, fftlog_kwargs=None, **kwargs):
         """P(k) -> xi(s) via FFTLog; returns CorrelationFunctionInterpolator1D."""
-        k = jnp.clip(jnp.geomspace(self.extrap_kmin, self.extrap_kmax, nk), self.extrap_kmin, self.extrap_kmax)
-        s, xi = PowerToCorrelation(k, complex=False, **(fftlog_kwargs or {}))(self(k).T)
+        k = _static_geomspace(self.extrap_kmin, self.extrap_kmax, nk)
+        s, xi = PowerToCorrelation(k, complex=False, **(fftlog_kwargs or {}))(self(jnp.asarray(k)).T)
         default_params = dict(interp_s='log', interp_order_s=self.interp_order_k)
         default_params.update(kwargs)
         return CorrelationFunctionInterpolator1D(s, xi=xi.T, **default_params)
@@ -304,14 +329,12 @@ class PowerSpectrumInterpolator2D(_BaseInterpolator):
                  extrap_kmax=_default_extrap_kmax, interp_order_k=3, interp_order_z=3, growth_factor_sq=None):
         self._rsigma8sq = 1.0
         self.growth_factor_sq = growth_factor_sq
-        karr = jnp.asarray(k, dtype=jnp.float64).ravel()
-        ik = jnp.argsort(karr)
-        self.k = karr[ik]
+        ik = _argsorted(k)
+        self.k = _sorted(k)
         pk = jnp.asarray(pk, dtype=jnp.float64)
         pk = pk.reshape(self.k.shape + (-1,))[ik]
-        zarr = jnp.asarray(z, dtype=jnp.float64).ravel()
-        iz = jnp.argsort(zarr)
-        self.z = zarr[iz]
+        iz = _argsorted(z)
+        self.z = _sorted(z)
         self._pk = pk[:, iz] if pk.shape[1] == self.z.shape[0] else pk
         self.interp_k = str(interp_k)
         self.extrap_pk = str(extrap_pk)
@@ -474,8 +497,8 @@ class PowerSpectrumInterpolator2D(_BaseInterpolator):
 
     def to_xi(self, nk=1024, fftlog_kwargs=None, **kwargs):
         """P(k, z) -> xi(s, z) via one batched FFTLog over the z-axis."""
-        k = jnp.clip(jnp.geomspace(self.extrap_kmin, self.extrap_kmax, nk), self.extrap_kmin, self.extrap_kmax)
-        s, xi = PowerToCorrelation(k, complex=False, **(fftlog_kwargs or {}))(self(k, z=self.z, ignore_growth=True).T)
+        k = _static_geomspace(self.extrap_kmin, self.extrap_kmax, nk)
+        s, xi = PowerToCorrelation(k, complex=False, **(fftlog_kwargs or {}))(self(jnp.asarray(k), z=self.z, ignore_growth=True).T)
         default_params = dict(interp_s='log', interp_order_s=self.interp_order_k,
                               interp_order_z=self.interp_order_z, growth_factor_sq=self.growth_factor_sq)
         default_params.update(kwargs)
@@ -490,9 +513,8 @@ class CorrelationFunctionInterpolator1D(_BaseInterpolator):
 
     def __init__(self, s, xi, interp_s='log', interp_order_s=3):
         self._rsigma8sq = 1.0
-        sarr = jnp.asarray(s, dtype=jnp.float64).ravel()
-        isort = jnp.argsort(sarr)
-        self.s = sarr[isort]
+        isort = _argsorted(s)
+        self.s = _sorted(s)
         self._xi = jnp.asarray(xi, dtype=jnp.float64)[isort]
         self.interp_s = str(interp_s)
         self.interp_order_s = int(interp_order_s)
@@ -563,8 +585,8 @@ class CorrelationFunctionInterpolator1D(_BaseInterpolator):
 
     def to_pk(self, ns=1024, fftlog_kwargs=None, **kwargs):
         """xi(s) -> P(k) via FFTLog."""
-        s = jnp.clip(jnp.geomspace(self.smin, self.smax, ns), self.smin, self.smax)
-        k, pk = CorrelationToPower(s, complex=False, **(fftlog_kwargs or {}))(self(s))
+        s = _static_geomspace(self.smin, self.smax, ns)
+        k, pk = CorrelationToPower(s, complex=False, **(fftlog_kwargs or {}))(self(jnp.asarray(s)))
         default_params = dict(interp_k='log', interp_order_k=self.interp_order_s)
         default_params.update(kwargs)
         return PowerSpectrumInterpolator1D(k, pk=pk, **default_params)
@@ -579,13 +601,11 @@ class CorrelationFunctionInterpolator2D(_BaseInterpolator):
     def __init__(self, s, z, xi, interp_s='log', interp_order_s=3, interp_order_z=3, growth_factor_sq=None):
         self._rsigma8sq = 1.0
         self.growth_factor_sq = growth_factor_sq
-        sarr = jnp.asarray(s, dtype=jnp.float64).ravel()
-        isort = jnp.argsort(sarr)
-        self.s = sarr[isort]
+        isort = _argsorted(s)
+        self.s = _sorted(s)
         xi = jnp.asarray(xi, dtype=jnp.float64).reshape(self.s.shape + (-1,))[isort]
-        zarr = jnp.asarray(z, dtype=jnp.float64).ravel()
-        iz = jnp.argsort(zarr)
-        self.z = zarr[iz]
+        iz = _argsorted(z)
+        self.z = _sorted(z)
         self._xi = xi[:, iz] if xi.shape[1] == self.z.shape[0] else xi
         self.interp_s = str(interp_s)
         self.interp_order_s, self.interp_order_z = int(interp_order_s), int(interp_order_z)
@@ -709,8 +729,8 @@ class CorrelationFunctionInterpolator2D(_BaseInterpolator):
 
     def to_pk(self, ns=1024, fftlog_kwargs=None, **kwargs):
         """xi(s, z) -> P(k, z) via one batched FFTLog over the z-axis."""
-        s = jnp.clip(jnp.geomspace(self.smin, self.smax, ns), self.smin, self.smax)
-        k, pk = CorrelationToPower(s, complex=False, **(fftlog_kwargs or {}))(self(s, self.z, ignore_growth=True).T)
+        s = _static_geomspace(self.smin, self.smax, ns)
+        k, pk = CorrelationToPower(s, complex=False, **(fftlog_kwargs or {}))(self(jnp.asarray(s), self.z, ignore_growth=True).T)
         default_params = dict(interp_k='log', extrap_pk='log', interp_order_k=self.interp_order_s,
                               interp_order_z=self.interp_order_z, growth_factor_sq=self.growth_factor_sq)
         default_params.update(kwargs)

@@ -1,0 +1,113 @@
+"""Process-parallel communication for sampling fan-out.
+
+Replaces the reference's mpi4py backend (emulators/tools/mpi.py: real comm
+or fake single-rank fallback) with ``jax.distributed`` multi-host
+primitives and a :class:`FakeComm` that runs everything serially in a single
+process, so all code paths work on one chip with zero extra deps.
+"""
+
+import numpy as np
+
+import jax
+
+
+class FakeComm(object):
+    """Single-process stand-in with the subset of the MPI interface used by
+    the samplers: rank/size, bcast, (all)gather, scatter, barrier."""
+
+    rank = 0
+    size = 1
+
+    def Get_rank(self):
+        return self.rank
+
+    def Get_size(self):
+        return self.size
+
+    def bcast(self, value, root=0):
+        return value
+
+    def gather(self, value, root=0):
+        return [value]
+
+    def allgather(self, value):
+        return [value]
+
+    def scatter(self, values, root=0):
+        if values is None:
+            return None
+        assert len(values) == 1
+        return values[0]
+
+    def barrier(self):
+        pass
+
+    barrier_idle = barrier
+
+    def reduce_sum(self, value, root=0):
+        return value
+
+    def allreduce_sum(self, value):
+        return value
+
+
+class JaxDistributedComm(object):
+    """Multi-host communication built on jax.distributed +
+    multihost_utils (DCN collectives). Each host is one 'rank'."""
+
+    def __init__(self):
+        self.rank = jax.process_index()
+        self.size = jax.process_count()
+
+    def Get_rank(self):
+        return self.rank
+
+    def Get_size(self):
+        return self.size
+
+    def bcast(self, value, root=0):
+        from jax.experimental import multihost_utils
+        return multihost_utils.broadcast_one_to_all(value, is_source=self.rank == root)
+
+    def allgather(self, value):
+        from jax.experimental import multihost_utils
+        out = multihost_utils.process_allgather(np.asarray(value))
+        return list(out)
+
+    def gather(self, value, root=0):
+        gathered = self.allgather(value)
+        return gathered if self.rank == root else None
+
+    def scatter(self, values, root=0):
+        # every host computes its own slice from the broadcast list
+        values = self.bcast(values if self.rank == root else None, root=root)
+        return values[self.rank]
+
+    def barrier(self):
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('cosmoprimo_tpu_barrier')
+
+    barrier_idle = barrier
+
+    def allreduce_sum(self, value):
+        return sum(self.allgather(value))
+
+    def reduce_sum(self, value, root=0):
+        total = self.allreduce_sum(value)
+        return total if self.rank == root else None
+
+
+def get_comm():
+    """The best available communicator: multi-host if jax.distributed is
+    initialized with more than one process, else the serial fallback."""
+    try:
+        if jax.process_count() > 1:
+            return JaxDistributedComm()
+    except Exception:
+        pass
+    return FakeComm()
+
+
+def split_ranks(nitems, rank, size):
+    """Indices of the items this rank owns (block distribution)."""
+    return list(range(rank * nitems // size, (rank + 1) * nitems // size))

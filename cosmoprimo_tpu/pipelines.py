@@ -1,0 +1,55 @@
+"""Batched end-to-end pipelines (the BASELINE workloads).
+
+These are the flagship compute paths: vmap over many cosmologies of the
+analytic-engine P(k) -> FFTLog xi(s) transform and background distances,
+with Fisher derivatives one jacfwd away. Each function is a pure jnp
+function over parameter arrays, so it jits once and shards over a device
+mesh along the batch axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cosmology import Cosmology
+from .fftlog import PowerToCorrelation
+
+
+def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu', z=jnp.array([0.0])):
+    """Build (fn, k, s): ``fn(omega_cdm, omega_b, h, n_s, logA)`` returns
+    (xi(s, z), chi(zq), sigma8) for one cosmology; the FFTLog setup (static
+    grids, Mellin coefficients) is computed once and closed over.
+
+    vmap ``fn`` for the batched BASELINE workload.
+    """
+    # host-built grid: exact endpoints (on-device geomspace under f64
+    # emulation can land one ULP outside the interpolator bounds -> NaN)
+    k = jnp.asarray(np.geomspace(kmin, kmax, nk))
+    p2c = PowerToCorrelation(np.geomspace(kmin, kmax, nk))
+    zq = jnp.array([0.5, 1.0, 2.0])
+
+    def fn(omega_cdm, omega_b, h, n_s, logA):
+        cosmo = Cosmology(omega_cdm=omega_cdm, omega_b=omega_b, h=h, n_s=n_s, logA=logA, engine=engine)
+        fo = cosmo.get_fourier()
+        pk = fo.pk_interpolator()
+        pkz = pk(k, z, ignore_growth=False)                  # (nk, nz)
+        s, xi = p2c(pkz.T)                                   # (nz, nk)
+        ba = cosmo.get_background()
+        chi = ba.comoving_radial_distance(zq)
+        sigma8 = pk.sigma8_z(0.0)
+        return xi, chi, sigma8
+
+    return fn, np.asarray(k), np.asarray(p2c.y[0])
+
+
+def make_distance_pipeline(engine='eisenstein_hu', zq=None):
+    """fn(omega_cdm, omega_b, h) -> comoving radial distances at zq."""
+    if zq is None:
+        zq = jnp.linspace(0.05, 3.0, 60)
+    zq = jnp.asarray(zq)
+
+    def fn(omega_cdm, omega_b, h):
+        cosmo = Cosmology(omega_cdm=omega_cdm, omega_b=omega_b, h=h, engine=engine)
+        return cosmo.get_background().comoving_radial_distance(zq)
+
+    return fn, np.asarray(zq)

@@ -86,7 +86,9 @@ class LeastSquareSolver(object):
     """
 
     def __init__(self, gradient, precision=1.0, constraint_gradient=None, compute_inverse=True):
-        self.gradient = jnp.atleast_2d(jnp.asarray(gradient, dtype=jnp.float64))
+        gradient = jnp.asarray(gradient, dtype=jnp.float64)
+        self.isscalar = gradient.ndim == 1
+        self.gradient = jnp.atleast_2d(gradient)
         precision = jnp.asarray(precision, dtype=jnp.float64)
         self.precision = precision
         if precision.ndim <= 1:
@@ -98,12 +100,14 @@ class LeastSquareSolver(object):
         nbasis = self.gradient.shape[0]
         self.constraint_gradient = None
         if constraint_gradient is not None:
+            # shape (nbasis, nconstraints), as in the reference (utils.py:179-182)
             self.constraint_gradient = jnp.atleast_2d(jnp.asarray(constraint_gradient, dtype=jnp.float64))
-            ncon = self.constraint_gradient.shape[0]
+            ncon = self.constraint_gradient.shape[-1]
+            # bordered (KKT) system [[F, -C], [C^T, 0]]
             bordered = jnp.zeros((nbasis + ncon, nbasis + ncon), dtype=jnp.float64)
             bordered = bordered.at[:nbasis, :nbasis].set(fisher)
-            bordered = bordered.at[:nbasis, nbasis:].set(self.constraint_gradient.T)
-            bordered = bordered.at[nbasis:, :nbasis].set(self.constraint_gradient)
+            bordered = bordered.at[:nbasis, nbasis:].set(-self.constraint_gradient)
+            bordered = bordered.at[nbasis:, :nbasis].set(self.constraint_gradient.T)
             self._system = bordered
         else:
             self._system = fisher
@@ -113,12 +117,12 @@ class LeastSquareSolver(object):
 
     def __call__(self, delta, constraint=None):
         """Solve for coefficients given data ``delta`` (ndata,) or batched
-        (..., ndata); optional ``constraint`` values c (nconstr,)."""
+        (..., ndata); optional ``constraint`` values c (..., nconstr)."""
         delta = jnp.asarray(delta, dtype=jnp.float64)
         rhs = delta @ self._gp.T  # (..., nbasis)
         nbasis = self.gradient.shape[0]
         if self.constraint_gradient is not None:
-            ncon = self.constraint_gradient.shape[0]
+            ncon = self.constraint_gradient.shape[-1]
             if constraint is None:
                 constraint = jnp.zeros(ncon, dtype=jnp.float64)
             constraint = jnp.broadcast_to(jnp.asarray(constraint, dtype=jnp.float64), rhs.shape[:-1] + (ncon,))
@@ -126,6 +130,8 @@ class LeastSquareSolver(object):
         sol = rhs @ self._inverse.T
         self._x = sol[..., :nbasis]
         self._d = delta
+        if self.isscalar:
+            return self._x[..., 0]
         return self._x
 
     coefficients = property(lambda self: self._x)
@@ -143,11 +149,12 @@ class LeastSquareSolver(object):
     def tree_flatten(self):
         children = (self.gradient, self.precision, self._gp, self._system, self._inverse,
                     self.constraint_gradient, self._x, self._d)
-        return children, {}
+        return children, {'isscalar': self.isscalar}
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         new = cls.__new__(cls)
+        new.isscalar = aux['isscalar']
         (new.gradient, new.precision, new._gp, new._system, new._inverse,
          new.constraint_gradient, new._x, new._d) = children
         return new

@@ -1,0 +1,118 @@
+"""Emulator toolkit tests: samplers, operations, Point/Taylor/MLP engines,
+Emulator IO round trip, and the 'emulated' cosmology engine end to end
+(reference parity: emulators/tests + emulators/tools/tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cosmoprimo_tpu.cosmology import Cosmology
+from cosmoprimo_tpu.emulators import (Emulator, EmulatedEngine, GridSampler, MLPEmulatorEngine,
+                                      PointEmulatorEngine, QMCSampler, Samples, TaylorEmulatorEngine,
+                                      get_calculator)
+
+
+def toy_calculator(a=1.0, b=0.0):
+    x = np.linspace(0.0, 1.0, 10)
+    return {'x': x, 'y': a * np.sin(3 * x) + b * x ** 2, 'z': a ** 2 + np.exp(b)}
+
+
+PARAMS = {'a': (0.8, 1.2), 'b': (-0.2, 0.2)}
+
+
+def test_samples_io(tmp_path):
+    sampler = QMCSampler(toy_calculator, PARAMS, engine='rqrs')
+    samples = sampler.run(niterations=16)
+    assert samples.size == 16
+    assert set(samples.columns('X.*')) == {'X.a', 'X.b'}
+    for fn in ['samples.npy', 'samples.h5']:
+        path = str(tmp_path / fn)
+        samples.write(path)
+        loaded = Samples.read(path)
+        np.testing.assert_allclose(loaded['Y.y'], samples['Y.y'])
+
+
+def test_grid_sampler():
+    sampler = GridSampler(toy_calculator, PARAMS)
+    samples = sampler.run(ngrid=3)
+    assert samples.size == 9
+
+
+def test_point_engine(tmp_path):
+    emulator = Emulator(calculator=toy_calculator, params=PARAMS, engine=PointEmulatorEngine())
+    emulator.set_samples()
+    emulator.fit()
+    pred = emulator.predict({'a': 1.0, 'b': 0.0})
+    assert 'y' in pred and 'x' in pred  # x is fixed
+    np.testing.assert_allclose(np.asarray(pred['x']), np.linspace(0, 1, 10))
+    # io round trip
+    for fn in ['emu.npy', 'emu.h5']:
+        path = str(tmp_path / fn)
+        emulator.write(path)
+        emulator2 = Emulator.read(path)
+        pred2 = emulator2.predict({'a': 1.0, 'b': 0.0})
+        np.testing.assert_allclose(np.asarray(pred2['y']), np.asarray(pred['y']))
+
+
+def test_taylor_engine(tmp_path):
+    emulator = Emulator(calculator=toy_calculator, params=PARAMS, engine=TaylorEmulatorEngine(order=3))
+    emulator.set_samples()
+    emulator.fit()
+    for a, b in [(1.0, 0.0), (1.1, 0.1), (0.85, -0.15)]:
+        pred = emulator.predict({'a': a, 'b': b})
+        truth = toy_calculator(a, b)
+        np.testing.assert_allclose(np.asarray(pred['y']), truth['y'], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pred['z']), truth['z'], rtol=1e-3)
+    # jit + grad through prediction
+    path = str(tmp_path / 'taylor.npy')
+    emulator.write(path)
+    emulator2 = Emulator.read(path)
+
+    def f(a):
+        return jnp.sum(emulator2.predict({'a': a, 'b': 0.05})['y'])
+
+    g = float(jax.grad(f)(1.0))
+    truth_g = np.sum(np.sin(3 * np.linspace(0, 1, 10)))
+    assert abs(g - truth_g) < 1e-3
+
+
+def test_mlp_engine():
+    emulator = Emulator(calculator=toy_calculator, params=PARAMS,
+                        engine=MLPEmulatorEngine(nhidden=(16, 16)))
+    emulator.set_samples(niterations=128)
+    emulator.fit(epochs=150, batch_frac=(1.0,), learning_rate=(1e-2,), patience=150)
+    pred = emulator.predict({'a': 1.0, 'b': 0.0})
+    truth = toy_calculator(1.0, 0.0)
+    # small net, few samples: accept few-percent accuracy
+    np.testing.assert_allclose(np.asarray(pred['y']), truth['y'], atol=0.1)
+
+
+def test_emulated_engine(tmp_path):
+    cosmo = Cosmology(omega_cdm=0.12, omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649,
+                      engine='eisenstein_hu')
+    calculator = get_calculator(cosmo, section=['background', 'thermodynamics', 'primordial'])
+    emulator = Emulator(calculator=calculator, params={'omega_cdm': (0.11, 0.13)},
+                        engine=TaylorEmulatorEngine(order=2))
+    emulator.set_samples()
+    emulator.fit()
+    path = str(tmp_path / 'cosmo_emu.npy')
+    emulator.write(path)
+
+    engine_cls = EmulatedEngine.read(path)
+    cosmo_emu = Cosmology(omega_cdm=0.121, omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649,
+                          engine=engine_cls)
+    cosmo_ref = cosmo.clone(omega_cdm=0.121)
+    z = np.array([0.5, 1.0, 2.0])
+    chi_emu = np.asarray(cosmo_emu.get_background().comoving_radial_distance(z))
+    chi_ref = np.asarray(cosmo_ref.get_background().comoving_radial_distance(z))
+    np.testing.assert_allclose(chi_emu, chi_ref, rtol=1e-5)
+    assert abs(float(cosmo_emu.get_thermodynamics().rs_drag) / float(cosmo_ref.get_thermodynamics().rs_drag) - 1) < 1e-5
+    # differentiable serving
+    def chi_of(omega_cdm):
+        c = Cosmology(omega_cdm=omega_cdm, omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649,
+                      engine=engine_cls)
+        return c.get_background().comoving_radial_distance(1.0)
+    g = float(jax.grad(chi_of)(0.121))
+    assert np.isfinite(g) and g != 0
