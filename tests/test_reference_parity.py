@@ -1,0 +1,124 @@
+"""Direct differential tests against the reference cosmoprimo library
+(mounted read-only at /root/reference), when importable. This is the
+strongest parity check: identical parameters through both frameworks.
+
+Skipped automatically when the reference (or its numpy path deps) is not
+available."""
+
+import sys
+
+import numpy as np
+import pytest
+
+
+def _load_reference():
+    sys.path.insert(0, '/root/reference')
+    import importlib.metadata as md
+    _orig = md.version
+    md.version = lambda name: '9.9.9' if name == 'cosmoprimo' else _orig(name)
+    import cosmoprimo
+    return cosmoprimo
+
+
+try:
+    ref = _load_reference()
+    HAS_REF = True
+except Exception:
+    HAS_REF = False
+
+pytestmark = pytest.mark.skipif(not HAS_REF, reason='reference cosmoprimo not importable')
+
+PARAMS = dict(omega_cdm=0.12, omega_b=0.02237, h=0.6736, sigma8=0.8, n_s=0.9649)
+
+
+@pytest.fixture(scope='module')
+def pair():
+    from cosmoprimo_tpu.cosmology import Cosmology
+    ours = Cosmology(**PARAMS, engine='eisenstein_hu')
+    theirs = ref.Cosmology(**PARAMS, engine='eisenstein_hu')
+    return ours, theirs
+
+
+def test_background_parity(pair):
+    ours, theirs = pair
+    z = np.array([0.0, 0.5, 1.0, 2.0, 5.0, 20.0])
+    ba_o, ba_t = ours.get_background(), theirs.get_background()
+    for name in ['efunc', 'comoving_radial_distance', 'angular_diameter_distance',
+                 'luminosity_distance', 'growth_factor', 'growth_rate', 'Omega_m', 'Omega_de']:
+        vo = np.asarray(getattr(ba_o, name)(z))
+        vt = np.asarray(getattr(ba_t, name)(z))
+        np.testing.assert_allclose(vo, vt, rtol=1e-9, err_msg=name)
+    assert abs(float(ba_o.age) / float(ba_t.age) - 1) < 1e-9
+
+
+def test_thermodynamics_primordial_parity(pair):
+    ours, theirs = pair
+    assert abs(float(ours.get_thermodynamics().rs_drag) / float(theirs.get_thermodynamics().rs_drag) - 1) < 1e-12
+    assert abs(float(ours.get_thermodynamics().z_drag) / float(theirs.get_thermodynamics().z_drag) - 1) < 1e-12
+    k = np.geomspace(1e-4, 10, 50)
+    po = np.asarray(ours.get_primordial().pk_k(k))
+    pt = np.asarray(theirs.get_primordial().pk_k(k))
+    np.testing.assert_allclose(po, pt, rtol=1e-9)
+
+
+def test_pk_parity(pair):
+    ours, theirs = pair
+    k = np.geomspace(1e-4, 10.0, 100)
+    z = np.array([0.0, 1.0, 2.5])
+    pko = np.asarray(ours.get_fourier().pk_interpolator()(k, z))
+    pkt = np.asarray(theirs.get_fourier().pk_interpolator()(k, z))
+    np.testing.assert_allclose(pko, pkt, rtol=1e-8)
+    # velocity spectra
+    pko = np.asarray(ours.get_fourier().pk_interpolator(of='theta_m')(k, 1.0))
+    pkt = np.asarray(theirs.get_fourier().pk_interpolator(of='theta_m')(k, 1.0))
+    np.testing.assert_allclose(pko, pkt, rtol=1e-8)
+
+
+def test_fftlog_parity(pair):
+    ours, theirs = pair
+    from cosmoprimo_tpu.fftlog import PowerToCorrelation as P2C_o
+    from cosmoprimo.fftlog import PowerToCorrelation as P2C_t
+    k = np.geomspace(1e-5, 1e2, 1024)
+    pk = np.asarray(ours.get_fourier().pk_interpolator()(k, 0.0))
+    so, xio = P2C_o(k)(pk)
+    st, xit = P2C_t(k)(pk)
+    np.testing.assert_allclose(np.asarray(so), np.asarray(st), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(xio), np.asarray(xit), rtol=1e-8, atol=1e-12)
+
+
+def test_engines_parity():
+    from cosmoprimo_tpu.cosmology import Cosmology
+    k = np.geomspace(1e-3, 5.0, 64)
+    for engine in ['eisenstein_hu_nowiggle', 'eisenstein_hu_nowiggle_variants']:
+        ours = Cosmology(**PARAMS, engine=engine)
+        theirs = ref.Cosmology(**PARAMS, engine=engine)
+        pko = np.asarray(ours.get_fourier().pk_interpolator()(k, 0.5))
+        pkt = np.asarray(theirs.get_fourier().pk_interpolator()(k, 0.5))
+        np.testing.assert_allclose(pko, pkt, rtol=1e-6, err_msg=engine)
+    # with massive neutrinos (scale-dependent growth)
+    ours = Cosmology(**PARAMS, m_ncdm=0.2, engine='eisenstein_hu_nowiggle_variants')
+    theirs = ref.Cosmology(**PARAMS, m_ncdm=0.2, engine='eisenstein_hu_nowiggle_variants')
+    for of in ['delta_m', 'delta_cb']:
+        pko = np.asarray(ours.get_fourier().pk_interpolator(of=of)(k, 1.0))
+        pkt = np.asarray(theirs.get_fourier().pk_interpolator(of=of)(k, 1.0))
+        np.testing.assert_allclose(pko, pkt, rtol=2e-4, err_msg=of)
+
+
+def test_ncdm_parity():
+    from cosmoprimo_tpu.cosmology import Cosmology
+    ours = Cosmology(**{k: v for k, v in PARAMS.items()}, m_ncdm=0.1)
+    theirs = ref.Cosmology(**{k: v for k, v in PARAMS.items()}, m_ncdm=0.1)
+    for name in ['Omega_ncdm', 'omega_ncdm', 'N_ur', 'N_eff', 'Omega_m']:
+        np.testing.assert_allclose(np.asarray(ours[name]), np.asarray(theirs[name]), rtol=1e-10, err_msg=name)
+    # hierarchy splitting
+    for h in ['normal', 'inverted', 'degenerate']:
+        o = Cosmology(m_ncdm=0.12, neutrino_hierarchy=h)
+        t = ref.Cosmology(m_ncdm=0.12, neutrino_hierarchy=h)
+        np.testing.assert_allclose(np.asarray(o['m_ncdm']), np.asarray(t['m_ncdm']), rtol=1e-8, err_msg=h)
+
+
+def test_theta_cosmomc_parity(pair):
+    ours, theirs = pair
+    to = float(ours['theta_cosmomc'])
+    tt = float(theirs['theta_cosmomc'])
+    assert abs(to / tt - 1) < 3e-6  # reference invariant tolerance
