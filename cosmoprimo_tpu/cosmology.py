@@ -577,6 +577,18 @@ _ENGINE_MODULES = {
     'class': 'models.boltzmann',
     'classy': 'models.boltzmann',
     'camb': 'models.boltzmann',
+    'axiclass': 'models.boltzmann',
+    'axiclassy': 'models.boltzmann',
+    'mochiclass': 'models.boltzmann',
+    'mochiclassy': 'models.boltzmann',
+    'negnuclass': 'models.boltzmann',
+    'negnuclassy': 'models.boltzmann',
+    'dsclass': 'models.boltzmann',
+    'dsclassy': 'models.boltzmann',
+    'isitgr': 'models.boltzmann',
+    'mgcamb': 'models.boltzmann',
+    'isitide': 'models.boltzmann',
+    'heftcamb': 'models.boltzmann',
     'astropy': 'models.astropy',
 }
 

@@ -116,3 +116,78 @@ def test_emulated_engine(tmp_path):
         return c.get_background().comoving_radial_distance(1.0)
     g = float(jax.grad(chi_of)(0.121))
     assert np.isfinite(g) and g != 0
+
+
+def test_jaxcapse_conversion(tmp_path):
+    """Convert a synthetic jaxcapse-format network and verify the prediction
+    against a manual forward pass."""
+    import json
+    from cosmoprimo_tpu.emulators.conversion import convert_jaxcapse_to_cosmoprimo
+
+    rng = np.random.default_rng(3)
+    n_in, hidden, n_out = 6, [8, 8], 12
+    sizes = [n_in] + hidden + [n_out]
+    weights, raw = [], []
+    for i in range(len(sizes) - 1):
+        W = rng.normal(size=(sizes[i + 1], sizes[i])) * 0.3
+        b = rng.normal(size=sizes[i + 1]) * 0.1
+        raw.append((W, b))
+        weights.append(W.ravel(order='F'))
+        weights.append(b)
+    weights = np.concatenate(weights)
+    nn_dict = {'n_input_features': n_in, 'n_output_features': n_out,
+               'layers': {f'layer_{i+1}': {'n_neurons': h, 'activation_function': 'tanh'}
+                          for i, h in enumerate(hidden)}}
+    d = tmp_path / 'TT'
+    d.mkdir()
+    np.save(d / 'weights.npy', weights)
+    inminmax = np.stack([np.zeros(n_in), np.ones(n_in)], axis=-1)
+    outminmax = np.stack([np.zeros(n_out), np.ones(n_out)], axis=-1)
+    np.save(d / 'nminmax.npy', inminmax)
+    np.save(d / 'outminmax.npy', outminmax)
+    with open(d / 'nn_setup.json', 'w') as f:
+        json.dump(nn_dict, f)
+
+    emu = convert_jaxcapse_to_cosmoprimo(tmp_path)
+    assert 'harmonic.lensed_cl.tt' in emu.engines
+    X = {'logA': 3.0, 'n_s': 0.96, 'H0': 67.0, 'omega_b': 0.022, 'omega_cdm': 0.12, 'tau_reio': 0.055}
+    pred = emu.predict(X)
+    cl = np.asarray(pred['harmonic.lensed_cl.tt'])
+    assert cl.shape == (n_out + 2,)
+    assert np.all(cl[:2] == 0)
+    # manual forward pass
+    x = np.array([X[p] for p in ['logA', 'n_s', 'H0', 'omega_b', 'omega_cdm', 'tau_reio']])
+    h = x  # inminmax is (0,1): scaling is identity
+    for i, (W, b) in enumerate(raw):
+        h = W @ h + b
+        if i < len(raw) - 1:
+            h = np.tanh(h)
+    ells = np.arange(n_out + 2)
+    ells2 = (ells * (ells + 1))[2:]
+    TCMB_unit = (2.7255e6) ** 2 * ells2 / (2 * np.pi)
+    expected = h / TCMB_unit * np.exp(X['logA'] - 3.0)
+    np.testing.assert_allclose(cl[2:], expected, rtol=1e-10)
+
+
+def test_cosmopower_conversion(tmp_path):
+    from cosmoprimo_tpu.emulators.conversion import convert_cosmopower_to_cosmoprimo
+    rng = np.random.default_rng(4)
+    n_in, n_out = 4, 10
+    W0, b0 = rng.normal(size=(n_in, 16)), rng.normal(size=16)
+    W1, b1 = rng.normal(size=(16, n_out)), rng.normal(size=n_out)
+    a0, be0 = rng.normal(size=16), rng.normal(size=16)
+    fn = tmp_path / 'net.npz'
+    np.savez(fn, n_layers=2, W_0=W0, b_0=b0, W_1=W1, b_1=b1, alphas_0=a0, betas_0=be0,
+             param_train_mean=np.zeros(n_in), param_train_std=np.ones(n_in),
+             feature_train_mean=np.zeros(n_out), feature_train_std=np.ones(n_out),
+             parameters_=np.array(['omega_b', 'omega_cdm', 'h', 'logA']),
+             modes=np.arange(2, n_out + 2))
+    emu = convert_cosmopower_to_cosmoprimo(fn, quantity='harmonic.lensed_cl.tt')
+    X = {'omega_b': 0.022, 'omega_cdm': 0.12, 'h': 0.67, 'logA': 3.0}
+    pred = np.asarray(emu.predict(X)['harmonic.lensed_cl.tt'])
+    # manual
+    x = np.array([X[p] for p in ['omega_b', 'omega_cdm', 'h', 'logA']])
+    h = x @ W0 + b0
+    h = (be0 + (1 - be0) / (1 + np.exp(-a0 * h))) * h
+    h = h @ W1 + b1
+    np.testing.assert_allclose(pred, 10 ** h, rtol=1e-10)
