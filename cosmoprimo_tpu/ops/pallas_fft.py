@@ -100,81 +100,101 @@ def from_pair(hi, lo):
 
 
 # ----------------------------------------------------------------------------
-# butterfly stages (df64 complex)
+# butterfly stages (df64 complex), lane-roll formulation
+#
+# Data stays (block, n) throughout; the stride-`half` exchange is a lane
+# roll and the low/high halves of each butterfly group are selected with an
+# iota mask — no reshapes or concatenations, which Mosaic lowers poorly.
+# Twiddles are full-length per-stage lane vectors precomputed on host.
 # ----------------------------------------------------------------------------
 
-def _view(x, n, size):
-    return x.reshape(x.shape[:-1] + (n // size, size))
+def _roll(x, shift):
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        # Mosaic's dynamic_rotate requires an i32 shift; rotate left by
+        # -shift to match jnp.roll semantics
+        return pltpu.roll(x, jnp.int32(shift % x.shape[1]), axis=1)
+    except Exception:
+        return jnp.roll(x, shift, axis=1)
 
 
-def _stage_dit(state, twiddle, size):
-    (reh, rel, imh, iml) = state
-    (ch, cl, sh, sl) = twiddle  # (1, half) pairs of cos/sin
-    n = reh.shape[-1]
+def _lane_mask(n, half):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return (lane & half) == 0
+
+
+def _df_cmul_vec(ar, al, ai, ail, tw):
+    ch, cl, sh, sl = tw
+    return _df_cmul(ar, al, ai, ail, ch, cl, sh, sl)
+
+
+def _stage_dit(state, tw, size, n):
+    """DIT butterfly: out[j] = x[j] + w^k x[j+half] (low lanes),
+    x[j-half] - w^k x[j] (high lanes), k = j & (half - 1)."""
+    reh, rel, imh, iml = state
     half = size // 2
-    vs = [_view(x, n, size) for x in (reh, rel, imh, iml)]
-    e = [v[..., :half] for v in vs]
-    o = [v[..., half:] for v in vs]
-    # t = w * odd
-    tr_h, tr_l, ti_h, ti_l = _df_cmul(o[0], o[1], o[2], o[3], ch, cl, sh, sl)
-    outs = []
-    for (eh, el), (th, tl) in (((e[0], e[1]), (tr_h, tr_l)), ((e[2], e[3]), (ti_h, ti_l))):
-        ph, plo = _df_add(eh, el, th, tl)
-        mh, mlo = _df_sub(eh, el, th, tl)
-        outs.append((jnp.concatenate([ph, mh], axis=-1).reshape(reh.shape),
-                     jnp.concatenate([plo, mlo], axis=-1).reshape(reh.shape)))
-    (reh, rel), (imh, iml) = outs
+    mask = _lane_mask(n, half)
+    rolled = [_roll(x, -half) for x in state]   # x[j + half]
+    b = [jnp.where(mask, r, x) for r, x in zip(rolled, state)]  # value to twiddle
+    tr_h, tr_l, ti_h, ti_l = _df_cmul_vec(b[0], b[1], b[2], b[3], tw)
+    am = [_roll(x, half) for x in state]        # x[j - half]
+    a = [jnp.where(mask, x, m) for x, m in zip(state, am)]
+    # low lanes: a + t ; high lanes: a - t
+    sgn = jnp.where(mask, 1.0, -1.0).astype(reh.dtype)
+    reh, rel = _df_add(a[0], a[1], sgn * tr_h, sgn * tr_l)
+    imh, iml = _df_add(a[2], a[3], sgn * ti_h, sgn * ti_l)
     return reh, rel, imh, iml
 
 
-def _stage_dif(state, twiddle, size):
-    (reh, rel, imh, iml) = state
-    (ch, cl, sh, sl) = twiddle
-    n = reh.shape[-1]
+def _stage_dif(state, tw, size, n):
+    """DIF butterfly: out[j] = x[j] + x[j+half] (low lanes),
+    (x[j-half] - x[j]) w^k (high lanes)."""
     half = size // 2
-    vs = [_view(x, n, size) for x in (reh, rel, imh, iml)]
-    a = [v[..., :half] for v in vs]
-    b = [v[..., half:] for v in vs]
-    sr_h, sr_l = _df_add(a[0], a[1], b[0], b[1])
-    si_h, si_l = _df_add(a[2], a[3], b[2], b[3])
-    dr_h, dr_l = _df_sub(a[0], a[1], b[0], b[1])
-    di_h, di_l = _df_sub(a[2], a[3], b[2], b[3])
-    tr_h, tr_l, ti_h, ti_l = _df_cmul(dr_h, dr_l, di_h, di_l, ch, cl, sh, sl)
-    reh = jnp.concatenate([sr_h, tr_h], axis=-1).reshape(reh.shape)
-    rel = jnp.concatenate([sr_l, tr_l], axis=-1).reshape(rel.shape)
-    imh = jnp.concatenate([si_h, ti_h], axis=-1).reshape(imh.shape)
-    iml = jnp.concatenate([si_l, ti_l], axis=-1).reshape(iml.shape)
+    mask = _lane_mask(n, half)
+    reh0, rel0, imh0, iml0 = state
+    plus = [_roll(x, -half) for x in state]     # x[j + half]
+    minus = [_roll(x, half) for x in state]     # x[j - half]
+    # low lanes: x + x[j+half]
+    lo_re_h, lo_re_l = _df_add(reh0, rel0, plus[0], plus[1])
+    lo_im_h, lo_im_l = _df_add(imh0, iml0, plus[2], plus[3])
+    # high lanes: (x[j-half] - x) * w
+    d_re_h, d_re_l = _df_sub(minus[0], minus[1], reh0, rel0)
+    d_im_h, d_im_l = _df_sub(minus[2], minus[3], imh0, iml0)
+    hi_re_h, hi_re_l, hi_im_h, hi_im_l = _df_cmul_vec(d_re_h, d_re_l, d_im_h, d_im_l, tw)
+    reh = jnp.where(mask, lo_re_h, hi_re_h)
+    rel = jnp.where(mask, lo_re_l, hi_re_l)
+    imh = jnp.where(mask, lo_im_h, hi_im_h)
+    iml = jnp.where(mask, lo_im_l, hi_im_l)
     return reh, rel, imh, iml
 
 
 @functools.lru_cache(maxsize=16)
 def _twiddle_tables(n, sign):
-    """Per-stage (cos, sin) hi/lo float32 tables, host-precomputed in f64.
-    Stage s (size = 2^s) uses the first 2^(s-1) entries; tables are padded
-    to (1, n//2) so every stage input has a static shape."""
+    """Per-stage full-length lane twiddles: tw_s[j] = exp(sign 2i pi
+    (j & (half-1)) / size), as (cos_h, cos_l, sin_h, sin_l) rows.
+    Returns a (4m, n) float32 array."""
     m = n.bit_length() - 1
-    tables = []
+    rows = []
+    lane = np.arange(n)
     for s in range(1, m + 1):
-        half = 1 << (s - 1)
-        ang = sign * 2.0 * np.pi * np.arange(half) / (1 << s)
+        size = 1 << s
+        half = size >> 1
+        k = lane & (half - 1)
+        ang = sign * 2.0 * np.pi * k / size
         c, sn = np.cos(ang), np.sin(ang)
-        # broadcast pattern: within a group of `size`, twiddle index = lane % half
-        reps = (n // 2) // half
-        c = np.tile(c, reps)
-        sn = np.tile(sn, reps)
-        ch = c.astype(np.float32)
-        cl = (c - ch.astype(np.float64)).astype(np.float32)
-        sh = sn.astype(np.float32)
-        sl = (sn - sh.astype(np.float64)).astype(np.float32)
-        tables.append((ch[None], cl[None], sh[None], sl[None]))
-    return tables
+        for v in (c, sn):
+            hi = v.astype(np.float32)
+            lo = (v - hi.astype(np.float64)).astype(np.float32)
+            rows.append(hi)
+            rows.append(lo)
+    # row order per stage: cos_h, cos_l, sin_h, sin_l
+    return np.stack(rows).astype(np.float32)
 
 
 def _kernel_body(fun_h_ref, fun_l_ref, u_ref, post_ref, ftw_ref, itw_ref, out_h_ref, out_l_ref, *, n):
     """u_ref (4, n): conj(hermitian u)/n as (re_h, re_l, im_h, im_l) rows.
     post_ref (2, n): postfactor (hi, lo), bit-reverse permuted.
-    ftw_ref / itw_ref (4m, n//2): per-stage twiddles (cos_h, cos_l, sin_h,
-    sin_l) rows for the forward / inverse transforms."""
+    ftw_ref / itw_ref (4m, n): per-stage lane twiddles."""
     reh = fun_h_ref[...]
     rel = fun_l_ref[...]
     imh = jnp.zeros_like(reh)
@@ -182,14 +202,13 @@ def _kernel_body(fun_h_ref, fun_l_ref, u_ref, post_ref, ftw_ref, itw_ref, out_h_
     state = (reh, rel, imh, iml)
     m = n.bit_length() - 1
 
-    def tw(ref, s, half):
+    def tw(ref, s):
         r = 4 * (s - 1)
-        return (ref[r:r + 1, :half], ref[r + 1:r + 2, :half],
-                ref[r + 2:r + 3, :half], ref[r + 3:r + 4, :half])
+        return (ref[r:r + 1, :], ref[r + 1:r + 2, :], ref[r + 2:r + 3, :], ref[r + 3:r + 4, :])
 
     # forward DIT (bit-reversed input -> natural output)
     for s in range(1, m + 1):
-        state = _stage_dit(state, tw(ftw_ref, s, 1 << (s - 1)), 1 << s)
+        state = _stage_dit(state, tw(ftw_ref, s), 1 << s, n)
     reh, rel, imh, iml = state
     # T = conj(F) * uc with uc = conj(hermitian-extended u) / n
     tr_h, tr_l, ti_h, ti_l = _df_cmul(reh, rel, -imh, -iml,
@@ -197,7 +216,7 @@ def _kernel_body(fun_h_ref, fun_l_ref, u_ref, post_ref, ftw_ref, itw_ref, out_h_
     state = (tr_h, tr_l, ti_h, ti_l)
     # inverse DIF (natural input -> bit-reversed output)
     for s in range(m, 0, -1):
-        state = _stage_dif(state, tw(itw_ref, s, 1 << (s - 1)), 1 << s)
+        state = _stage_dif(state, tw(itw_ref, s), 1 << s, n)
     reh, rel, _, _ = state
     ph, plo = _df_mul(reh, rel, post_ref[0:1], post_ref[1:2])
     out_h_ref[...] = ph
@@ -235,8 +254,8 @@ def fftlog_pallas(padded_fun, u_half_re, u_half_im, postfactor, block=16):
     post_rev = jnp.take(jnp.broadcast_to(jnp.asarray(postfactor, jnp.float64), (n,)), rev_j)
     post2 = jnp.stack(to_pair(post_rev))
 
-    ftw = jnp.asarray(np.concatenate([np.concatenate(t, axis=0) for t in _twiddle_tables(n, -1.0)], axis=0))  # (4m, n//2)
-    itw = jnp.asarray(np.concatenate([np.concatenate(t, axis=0) for t in _twiddle_tables(n, +1.0)], axis=0))
+    ftw = jnp.asarray(_twiddle_tables(n, -1.0))  # (4m, n)
+    itw = jnp.asarray(_twiddle_tables(n, +1.0))
 
     pad = (-batch) % block
     if pad:
@@ -253,8 +272,8 @@ def fftlog_pallas(padded_fun, u_half_re, u_half_im, postfactor, block=16):
             blk_spec, blk_spec,
             pl.BlockSpec((4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * m, n // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * m, n // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(blk_spec, blk_spec),
         out_shape=(jax.ShapeDtypeStruct((fh.shape[0], n), jnp.float32),
