@@ -136,12 +136,15 @@ class BaseSampler(object):
         self.comm = comm if comm is not None else get_comm()
         self.samples = None
 
-    def _run_points(self, points):
-        """points: dict name -> (n,) array; evaluated by this process."""
+    def _run_points(self, points, start=0):
+        """points: dict name -> (n,) array; evaluated by this process,
+        starting at local index ``start`` (resume support). Intermediate
+        results are checkpointed every ``save_every`` evaluations when a
+        ``save_fn`` is set (reference samples.py:395-445)."""
         n = len(next(iter(points.values()))) if points else 0
         rows = []
         template = None
-        for i in range(n):
+        for i in range(start, n):
             p = {name: value[i] for name, value in points.items()}
             try:
                 state = self.calculator(**p)
@@ -150,21 +153,50 @@ class BaseSampler(object):
             except CalculatorComputationError:
                 state = None
             rows.append((p, state))
+            if self.save_fn is not None and self.save_every and len(rows) % self.save_every == 0:
+                self._checkpoint(points, rows, template)
         if template is None:
             raise ValueError('All calculator evaluations failed')
+        return self._collect(points, rows, template, start=start)
+
+    @staticmethod
+    def _collect(points, rows, template, start=0):
+        n_done = len(rows)
         data = {'X.' + name: np.array([row[0][name] for row in rows]) for name in points}
         for name, shape in template.items():
-            values = np.array([row[1][name] if row[1] is not None else np.full(shape, np.nan)
-                               for row in rows])
-            data['Y.' + name] = values
-        return Samples(data)
+            data['Y.' + name] = np.array([row[1][name] if row[1] is not None else np.full(shape, np.nan)
+                                          for row in rows])
+        samples = Samples(data)
+        samples.attrs['start'] = start
+        return samples
 
-    def run(self, **kwargs):
+    def _checkpoint(self, points, rows, template):
+        if template is None:
+            return
+        rank = self.comm.Get_rank()
+        fn = str(self.save_fn)
+        if self.comm.Get_size() > 1:
+            base, dot, ext = fn.rpartition('.')
+            fn = f'{base}.rank{rank}{dot}{ext}' if dot else f'{fn}.rank{rank}'
+        self._collect(points, rows, template).write(fn + '.progress.npy' if not fn.endswith('.npy') else fn)
+
+    def run(self, resume_from=None, **kwargs):
+        """Evaluate all points (block-distributed over processes); pass
+        ``resume_from`` (a Samples checkpoint) to continue an interrupted
+        run without recomputing finished points."""
         points = self.points(**kwargs)
         rank, size = self.comm.Get_rank(), self.comm.Get_size()
         n = len(next(iter(points.values())))
         index = split_ranks(n, rank, size)
-        local = self._run_points({name: np.asarray(value)[index] for name, value in points.items()})
+        local_points = {name: np.asarray(value)[index] for name, value in points.items()}
+        prior = None
+        start = 0
+        if resume_from is not None:
+            prior = resume_from if isinstance(resume_from, Samples) else Samples.read(resume_from)
+            start = prior.size
+        local = self._run_points(local_points, start=start)
+        if prior is not None:
+            local = Samples.concatenate([prior, local])
         gathered = self.comm.gather(local, root=0)
         if rank == 0:
             self.samples = Samples.concatenate(gathered)

@@ -273,6 +273,17 @@ class FFTlog(object):
             return jax.default_backend() == 'tpu'
         return False
 
+    def _call_pallas(self, padded_fun, prefactor, postfactor, u):
+        """Fused Pallas path (double-single f32 kernel, ops/pallas_fft.py):
+        one VMEM-resident kernel per batch tile. Supports a single kernel row
+        (nparallel == 1) with a real postfactor."""
+        from .ops.pallas_fft import fftlog_pallas
+        u = np.asarray(u) if not _is_traced(u) else u
+        fun = (padded_fun * prefactor).reshape(-1, self.padded_size)
+        out = fftlog_pallas(fun, jnp.real(jnp.asarray(u[0])), jnp.imag(jnp.asarray(u[0])),
+                            jnp.asarray(postfactor[0]))
+        return out.reshape(padded_fun.shape[:-1] + (self.padded_size,))
+
     def __call__(self, fun, extrap=0, keep_padding=False):
         """Transform ``fun`` whose last axes broadcast against
         (nparallel, size); returns (y, transformed).
@@ -285,7 +296,11 @@ class FFTlog(object):
         prefactor = jnp.asarray(self.padded_prefactor)
         postfactor = jnp.asarray(self.padded_postfactor)
         u = np.asarray(self.padded_u) if not _is_traced(self.padded_u) else self.padded_u
-        if self._use_pair_engine():
+        if self.engine == 'pallas':
+            if self.nparallel != 1 or jnp.iscomplexobj(postfactor):
+                raise NotImplementedError("engine='pallas' supports a single kernel row with real postfactor")
+            out = self._call_pallas(padded_fun, prefactor, postfactor, u)
+        elif self._use_pair_engine():
             if jnp.iscomplexobj(postfactor):
                 raise NotImplementedError('complex postfactors (complex=True multipoles) require a backend with complex128')
             u_re = jnp.asarray(np.real(u)) if isinstance(u, np.ndarray) else jnp.real(u)

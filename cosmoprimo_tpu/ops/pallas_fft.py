@@ -109,13 +109,14 @@ def from_pair(hi, lo):
 # ----------------------------------------------------------------------------
 
 def _roll(x, shift):
-    try:
-        from jax.experimental.pallas import tpu as pltpu
-        # Mosaic's dynamic_rotate requires an i32 shift; rotate left by
-        # -shift to match jnp.roll semantics
-        return pltpu.roll(x, jnp.int32(shift % x.shape[1]), axis=1)
-    except Exception:
-        return jnp.roll(x, shift, axis=1)
+    """Circular shift along the last axis via static slices + concat
+    (jnp.roll semantics: out[j] = x[j - shift]); avoids tpu.dynamic_rotate,
+    which this toolchain rejects/crashes on."""
+    n = x.shape[1]
+    shift = shift % n
+    if shift == 0:
+        return x
+    return jnp.concatenate([x[:, n - shift:], x[:, :n - shift]], axis=1)
 
 
 def _lane_mask(n, half):
@@ -265,20 +266,23 @@ def fftlog_pallas(padded_fun, u_half_re, u_half_im, postfactor, block=16):
 
     blk_spec = pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    out_h, out_l = pl.pallas_call(
-        functools.partial(_kernel_body, n=n),
-        grid=(nblocks,),
-        in_specs=[
-            blk_spec, blk_spec,
-            pl.BlockSpec((4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(blk_spec, blk_spec),
-        out_shape=(jax.ShapeDtypeStruct((fh.shape[0], n), jnp.float32),
-                   jax.ShapeDtypeStruct((fh.shape[0], n), jnp.float32)),
-    )(fh, fl, u4, post2, ftw, itw)
+    # this toolchain's Mosaic lowering rejects any 64-bit values; trace the
+    # kernel with x64 promotion disabled (all kernel values are f32 anyway)
+    with jax.enable_x64(False):
+        out_h, out_l = pl.pallas_call(
+            functools.partial(_kernel_body, n=n),
+            grid=(nblocks,),
+            in_specs=[
+                blk_spec, blk_spec,
+                pl.BlockSpec((4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(blk_spec, blk_spec),
+            out_shape=(jax.ShapeDtypeStruct((fh.shape[0], n), jnp.float32),
+                       jax.ShapeDtypeStruct((fh.shape[0], n), jnp.float32)),
+        )(fh, fl, u4, post2, ftw, itw)
 
     out = from_pair(out_h, out_l)
     out = jnp.take(out, rev_j, axis=-1)  # bit reversal is an involution

@@ -172,3 +172,36 @@ class DistanceToRedshift(object):
 
     def __call__(self, distance):
         return self._interp(distance)
+
+
+def setup_logging(level='info'):
+    """Process-rank-aware logging setup (reference tools/utils.py:23-91 role)."""
+    import logging
+    import sys
+    try:
+        import jax
+        rank = jax.process_index() if jax.process_count() > 1 else None
+    except Exception:
+        rank = None
+    fmt = '[%(asctime)s] %(levelname)s %(name)s: %(message)s'
+    if rank is not None:
+        fmt = f'[rank {rank}] ' + fmt
+    logging.basicConfig(level=getattr(logging, level.upper()), format=fmt,
+                        datefmt='%m-%d %H:%M', stream=sys.stdout, force=True)
+
+
+def profile_trace(dirname='/tmp/jax-trace'):
+    """Context manager writing a jax.profiler trace viewable in TensorBoard
+    or Perfetto (aux observability; the reference has no tracer — SURVEY §5)."""
+    import contextlib
+    import jax
+
+    @contextlib.contextmanager
+    def ctx():
+        jax.profiler.start_trace(dirname)
+        try:
+            yield dirname
+        finally:
+            jax.profiler.stop_trace()
+
+    return ctx()
