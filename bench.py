@@ -1,7 +1,10 @@
 """Driver benchmark: batched FFTLog pk->xi + background distances + sigma8
-over many cosmologies on the TPU, vs the same float64 pipeline on one CPU
-core (numpy/pocketfft-backed XLA CPU — numerically the scipy reference: the
-FFTLog path is validated against scipy quad truth in tests/test_fftlog.py).
+over many cosmologies on the TPU, against the reference cosmoprimo library
+(numpy/scipy) running the identical pipeline on CPU.
+
+Timing note: on the axon TPU relay, ``block_until_ready`` does not
+synchronize — every timed call therefore reduces its outputs to a scalar
+ON DEVICE and forces an 8-byte readback, which bounds the full compute.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,18 +28,6 @@ def make_args(n, seed=0):
             jnp.asarray(rng.uniform(0.65, 0.70, n)),
             jnp.asarray(rng.uniform(0.94, 0.98, n)),
             jnp.asarray(rng.uniform(2.9, 3.1, n)))
-
-
-def time_batched(batched, args, nrep=3):
-    out = batched(*args)
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(nrep):
-        t0 = time.time()
-        out = batched(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.time() - t0)
-    return best, out
 
 
 def reference_rate(seconds=5.0):
@@ -73,34 +64,46 @@ def main():
     from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline
 
     n = int(os.environ.get('BENCH_N', '10000'))
-    n_cpu = int(os.environ.get('BENCH_N_CPU', '64'))
+    n_cpu = int(os.environ.get('BENCH_N_CPU', '32'))
+    nrep = int(os.environ.get('BENCH_NREP', '3'))
 
     fn, k, s = make_pk_to_xi_pipeline(nk=1024)
-    batched = jax.jit(jax.vmap(fn))
+    batched = jax.vmap(fn)
 
-    args = make_args(n)
-    dt, out = time_batched(batched, args)
-    rate = n / dt
+    @jax.jit
+    def batched_checksum(*args):
+        xi, chi, s8 = batched(*args)
+        # on-device reduction: an 8-byte readback bounds the full compute
+        return jnp.sum(xi) + jnp.sum(chi) + jnp.sum(s8)
 
-    # ---- CPU reference (accuracy + baseline throughput)
+    args_list = [make_args(n, seed=i) for i in range(nrep + 1)]
+    float(batched_checksum(*args_list[0]))  # compile + warm
+    best = np.inf
+    for i in range(1, nrep + 1):
+        t0 = time.time()
+        float(batched_checksum(*args_list[i]))
+        best = min(best, time.time() - t0)
+    rate = n / best
+
+    # ---- CPU f64 path: accuracy cross-check + XLA-CPU rate
     cpu = jax.devices('cpu')[0]
-    args_cpu = jax.tree_util.tree_map(lambda a: jax.device_put(a[:n_cpu], cpu), args)
+    args_small = make_args(n_cpu, seed=1)
+    args_cpu = jax.tree_util.tree_map(lambda a: jax.device_put(a, cpu), args_small)
     with jax.default_device(cpu):
-        batched_cpu = jax.jit(jax.vmap(fn))
-        dt_cpu, out_cpu = time_batched(batched_cpu, args_cpu, nrep=2)
-    rate_cpu = n_cpu / dt_cpu
-
-    # accuracy: TPU vs CPU-f64 (scipy-validated) on the same cosmologies
-    xi_t, chi_t, s8_t = (np.asarray(o)[:n_cpu] for o in out)
-    xi_c, chi_c, s8_c = (np.asarray(o) for o in out_cpu)
+        batched_cpu = jax.jit(batched)
+        out_cpu = jax.tree_util.tree_map(np.asarray, batched_cpu(*args_cpu))
+        t0 = time.time()
+        jax.block_until_ready(batched_cpu(*args_cpu))  # CPU backend truly blocks
+        rate_cpu = n_cpu / (time.time() - t0)
+    out_tpu = jax.tree_util.tree_map(np.asarray, jax.jit(batched)(*args_small))
+    xi_t, chi_t, s8_t = out_tpu
+    xi_c, chi_c, s8_c = out_cpu
     scale = np.abs(xi_c).max(axis=-1, keepdims=True)
-    err_xi = np.abs(xi_t - xi_c) / scale          # relative to the transform scale
-    err_chi = np.abs(chi_t / chi_c - 1)
-    err_s8 = np.abs(s8_t / s8_c - 1)
-    max_err = float(max(err_xi.max(), err_chi.max(), err_s8.max()))
+    max_err = float(max((np.abs(xi_t - xi_c) / scale).max(),
+                        np.abs(chi_t / chi_c - 1).max(),
+                        np.abs(s8_t / s8_c - 1).max()))
 
-    # baseline: the reference cosmoprimo library itself (numpy/scipy on CPU),
-    # running the identical pipeline; fall back to our jax-CPU rate.
+    # ---- baseline: the reference cosmoprimo library itself (CPU)
     ref_rate = reference_rate()
     baseline_rate = ref_rate if ref_rate is not None else rate_cpu
 

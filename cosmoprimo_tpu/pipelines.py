@@ -15,7 +15,8 @@ from .cosmology import Cosmology
 from .fftlog import PowerToCorrelation
 
 
-def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu', z=jnp.array([0.0])):
+def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu', z=jnp.array([0.0]),
+                           fft_engine='auto'):
     """Build (fn, k, s): ``fn(omega_cdm, omega_b, h, n_s, logA)`` returns
     (xi(s, z), chi(zq), sigma8) for one cosmology; the FFTLog setup (static
     grids, Mellin coefficients) is computed once and closed over.
@@ -25,7 +26,7 @@ def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu',
     # host-built grid: exact endpoints (on-device geomspace under f64
     # emulation can land one ULP outside the interpolator bounds -> NaN)
     k = jnp.asarray(np.geomspace(kmin, kmax, nk))
-    p2c = PowerToCorrelation(np.geomspace(kmin, kmax, nk))
+    p2c = PowerToCorrelation(np.geomspace(kmin, kmax, nk), engine=fft_engine)
     zq = jnp.array([0.5, 1.0, 2.0])
 
     def fn(omega_cdm, omega_b, h, n_s, logA):

@@ -191,3 +191,60 @@ def test_cosmopower_conversion(tmp_path):
     h = (be0 + (1 - be0) / (1 + np.exp(-a0 * h))) * h
     h = h @ W1 + b1
     np.testing.assert_allclose(pred, 10 ** h, rtol=1e-10)
+
+
+def _make_synthetic_capse(tmp_path, n_in=6, n_out=48):
+    """Build a synthetic jaxcapse-format Cl network and convert it."""
+    import json as _json
+    from cosmoprimo_tpu.emulators.conversion import convert_jaxcapse_to_cosmoprimo
+    rng = np.random.default_rng(11)
+    hidden = [16]
+    sizes = [n_in] + hidden + [n_out]
+    weights = []
+    for i in range(len(sizes) - 1):
+        W = rng.normal(size=(sizes[i + 1], sizes[i])) * 0.05
+        b = rng.normal(size=sizes[i + 1]) * 0.01 + (1.0 if i == len(sizes) - 2 else 0.0)
+        weights.append(W.ravel(order='F'))
+        weights.append(b)
+    nn_dict = {'n_input_features': n_in, 'n_output_features': n_out,
+               'layers': {f'layer_{i+1}': {'n_neurons': h, 'activation_function': 'silu'}
+                          for i, h in enumerate(hidden)}}
+    d = tmp_path / 'TT'
+    d.mkdir()
+    np.save(d / 'weights.npy', np.concatenate(weights))
+    np.save(d / 'nminmax.npy', np.stack([np.array([2.5, 0.9, 60, 0.02, 0.1, 0.01]),
+                                         np.array([3.5, 1.0, 75, 0.024, 0.14, 0.10])], axis=-1))
+    np.save(d / 'outminmax.npy', np.stack([np.zeros(n_out), np.ones(n_out)], axis=-1))
+    with open(d / 'nn_setup.json', 'w') as f:
+        _json.dump(nn_dict, f)
+    emu = convert_jaxcapse_to_cosmoprimo(tmp_path)
+    fn = str(tmp_path / 'capse.npy')
+    emu.write(fn)
+    return fn
+
+
+def test_capse_style_harmonic_serving(tmp_path):
+    """BASELINE config #5: lensed_cl()['tt'] served on-device through the
+    harmonic section with end-to-end jacfwd gradients."""
+    from cosmoprimo_tpu.emulators import EmulatedEngine
+    fn = _make_synthetic_capse(tmp_path)
+    engine_cls = EmulatedEngine.read(fn)
+
+    def get_cosmo(logA):
+        return Cosmology(omega_cdm=0.12, omega_b=0.02237, h=0.6736, logA=logA, n_s=0.9649,
+                         tau_reio=0.055, ellmax_cl=49, engine=engine_cls)
+
+    hr = get_cosmo(3.0).get_harmonic()
+    cl = hr.lensed_cl()
+    tt = np.asarray(cl['tt'])
+    assert tt.shape == (50,)
+    assert np.all(tt[:2] == 0) and np.isfinite(tt).all()
+    assert np.asarray(cl['ell']).shape == (50,)
+
+    def tt_sum(logA):
+        return jnp.sum(get_cosmo(logA).get_harmonic().lensed_cl()['tt'])
+
+    g = float(jax.jacfwd(tt_sum)(3.0))
+    assert np.isfinite(g) and g != 0
+    # Cl scales with A_s ~ exp(logA): d(sum)/dlogA ~ sum at leading order
+    assert abs(g / float(tt_sum(3.0)) - 1) < 0.5
