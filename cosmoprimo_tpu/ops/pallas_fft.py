@@ -17,6 +17,14 @@ multiply, inverse FFT — on a (block, n) tile resident in VMEM:
 
 ``fftlog_pair_reference`` is the identical-contract jnp float64 path used
 for verification and on backends with native f64.
+
+Known limitation (this image's remote-compile toolchain): the kernel
+compiles and runs standalone — jit(fftlog_pallas) at (4096, 4096) measures
+2x faster than the XLA f64 pair-FFT at 9e-15 accuracy — but embedding the
+pallas_call inside a large jit graph (e.g. the full vmapped pipeline)
+crashes the tpu_compile_helper subprocess, as do block sizes > 8. FFTlog's
+``engine='pallas'`` is therefore opt-in for standalone transforms; the
+default TPU path remains the f64 pair FFT.
 """
 
 import functools

@@ -54,3 +54,32 @@ def make_distance_pipeline(engine='eisenstein_hu', zq=None):
         return cosmo.get_background().comoving_radial_distance(zq)
 
     return fn, np.asarray(zq)
+
+
+def make_pk_to_xi_pipeline_batched(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu',
+                                   z=jnp.array([0.0]), fft_engine='auto'):
+    """Batched variant: ``fn(omega_cdm[B], omega_b[B], h[B], n_s[B],
+    logA[B])`` evaluates P(k) per cosmology under vmap, then runs ONE
+    batched FFTLog over all (B, nz) rows — so the fused Pallas engine
+    (which cannot sit under vmap on this toolchain) applies to the whole
+    batch in a single kernel launch.
+    """
+    k = jnp.asarray(np.geomspace(kmin, kmax, nk))
+    p2c = PowerToCorrelation(np.geomspace(kmin, kmax, nk), engine=fft_engine)
+    zq = jnp.array([0.5, 1.0, 2.0])
+
+    def single(omega_cdm, omega_b, h, n_s, logA):
+        cosmo = Cosmology(omega_cdm=omega_cdm, omega_b=omega_b, h=h, n_s=n_s, logA=logA, engine=engine)
+        fo = cosmo.get_fourier()
+        pk = fo.pk_interpolator()
+        pkz = pk(k, z, ignore_growth=False)          # (nk, nz)
+        chi = cosmo.get_background().comoving_radial_distance(zq)
+        sigma8 = pk.sigma8_z(0.0)
+        return pkz, chi, sigma8
+
+    def fn(omega_cdm, omega_b, h, n_s, logA):
+        pkz, chi, sigma8 = jax.vmap(single)(omega_cdm, omega_b, h, n_s, logA)
+        s, xi = p2c(jnp.moveaxis(pkz, 1, 2))         # (B, nz, nk) batched FFT
+        return xi, chi, sigma8
+
+    return fn, np.asarray(k), np.asarray(p2c.y[0])
