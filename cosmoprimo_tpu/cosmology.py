@@ -784,10 +784,6 @@ class Cosmology(ParamsAccessor):
             self._engine = engine
         return engine
 
-    def _section(self, section, engine=None, set_engine=True, **extra_params):
-        engine = self.set_engine(engine, set_engine=set_engine, **extra_params) if (engine is not None or self._engine is None) else self._engine
-        return engine.get_section(section)
-
     # ------------------------------------------------------------- params
     @classmethod
     def get_default_params(cls, of=None, include_conflicts=True):

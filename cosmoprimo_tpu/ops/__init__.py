@@ -8,3 +8,4 @@ from .quadrature import simpson, romberg, gauss_legendre, gauss_laguerre_nodes, 
 from .odeint import odeint
 from .roots import bracket, bisect
 from .special import loggamma, gamma
+from .fft import fft_pair, rfft_pair, irfft_pair

@@ -25,9 +25,19 @@ def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu',
     """
     # host-built grid: exact endpoints (on-device geomspace under f64
     # emulation can land one ULP outside the interpolator bounds -> NaN)
-    k = jnp.asarray(np.geomspace(kmin, kmax, nk))
-    p2c = PowerToCorrelation(np.geomspace(kmin, kmax, nk), engine=fft_engine)
+    k_np = np.geomspace(kmin, kmax, nk)
+    k = jnp.asarray(k_np)
+    p2c = PowerToCorrelation(k_np, engine=fft_engine)
     zq = jnp.array([0.5, 1.0, 2.0])
+    # sigma8 as a static-weight Simpson reduction over the SAME k-grid the
+    # transform uses: w_i = k^3 W^2(8k) (log-measure); everything static,
+    # so sigma8 costs one weighted sum per cosmology.
+    from .interpolator import kernel_tophat2
+    from .ops import simpson
+    _w8 = jnp.asarray(k_np ** 3 * np.asarray(kernel_tophat2(jnp.asarray(8.0 * k_np))))
+    _lnk = jnp.asarray(np.log(k_np))
+    _iz0 = int(np.argmin(np.abs(np.asarray(z))))
+    _z0_in_grid = float(np.asarray(z).ravel()[_iz0]) == 0.0
 
     def fn(omega_cdm, omega_b, h, n_s, logA):
         cosmo = Cosmology(omega_cdm=omega_cdm, omega_b=omega_b, h=h, n_s=n_s, logA=logA, engine=engine)
@@ -37,7 +47,9 @@ def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu',
         s, xi = p2c(pkz.T)                                   # (nz, nk)
         ba = cosmo.get_background()
         chi = ba.comoving_radial_distance(zq)
-        sigma8 = pk.sigma8_z(0.0)
+        # reuse the z = 0 column of pkz when available
+        pk0 = pkz[:, _iz0] if _z0_in_grid else pk(k, jnp.array([0.0]))[:, 0]
+        sigma8 = jnp.sqrt(simpson(pk0 * _w8, x=_lnk) / (2.0 * jnp.pi ** 2))
         return xi, chi, sigma8
 
     return fn, np.asarray(k), np.asarray(p2c.y[0])
@@ -74,7 +86,7 @@ def make_pk_to_xi_pipeline_batched(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenst
         pk = fo.pk_interpolator()
         pkz = pk(k, z, ignore_growth=False)          # (nk, nz)
         chi = cosmo.get_background().comoving_radial_distance(zq)
-        sigma8 = pk.sigma8_z(0.0)
+        sigma8 = pk.sigma8_z(0.0, method='simpson')
         return pkz, chi, sigma8
 
     def fn(omega_cdm, omega_b, h, n_s, logA):
