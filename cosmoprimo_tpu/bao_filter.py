@@ -246,16 +246,37 @@ class EHNoWigglePolyPowerSpectrumBAOFilter(BasePowerSpectrumBAOFilter):
         super().__init__(pk_interpolator, cosmo=cosmo, **kwargs)
 
     def _prepare(self):
-        # fixed fitting support: the widest k-range used; the (possibly
-        # rescaled) krange selects via weights inside _compute
+        # fixed fitting support for the traced path: the widest k-range
+        # used; the (possibly rescaled) krange selects via weights
         self.kmask = (self.k >= self.krange[0] / 2.0) & (self.k <= self.krange[1] * 2.0)
         self._kfit = self.k[self.kmask]
         self.model = np.array([self._kfit ** (i - 2) for i in range(6)])
 
     def _compute(self):
-        krange = jnp.asarray(self.krange)
-        if self.rescale_krange:
-            krange = krange / self.rs_drag_ratio()
+        import jax as _jax
+        rescale = self.rs_drag_ratio() if self.rescale_krange else 1.0
+        if not isinstance(rescale, _jax.core.Tracer):
+            # concrete rescale: reproduce the reference exactly — boolean
+            # mask at the rescaled krange, constraints at the masked edges
+            # (reference bao_filter.py:326-342)
+            krange = np.asarray(self.krange) / float(np.asarray(rescale))
+            mask = (self.k >= krange[0]) & (self.k <= krange[1])
+            k = self.k[mask]
+            model = np.array([k ** (i - 2) for i in range(6)])
+            pknow = self._pknow_eh(k)[:, None]
+            ratio = (self.pk[mask] / pknow).T
+            constraint_gradient = np.column_stack([
+                model[..., 0], model[..., 1] - model[..., 0],
+                model[..., -1], model[..., -2] - model[..., -1]])
+            solver = LeastSquareSolver(model, precision=k ** 2, constraint_gradient=constraint_gradient)
+            solver(ratio, constraint=jnp.stack([ratio[..., 0], ratio[..., 1] - ratio[..., 0],
+                                                ratio[..., -1], ratio[..., -2] - ratio[..., -1]], axis=-1))
+            wiggles = jnp.ones_like(self.pk).at[mask].set((ratio / solver.model()).T)
+            self.pknow = self.pk / wiggles
+            return
+        # traced rescale: static shapes via zero-weight masking over the
+        # wide fixed support (jit-safe reformulation)
+        krange = jnp.asarray(self.krange) / rescale
         k = jnp.asarray(self._kfit)
         inrange = (k >= krange[0]) & (k <= krange[1])
         weights = jnp.where(inrange, k ** 2, 0.0)
@@ -263,7 +284,6 @@ class EHNoWigglePolyPowerSpectrumBAOFilter(BasePowerSpectrumBAOFilter):
         pknow = self._pknow_eh(self._kfit)[:, None]
         ratio = (self.pk[self.kmask] / pknow).T
 
-        # endpoint constraints at the static edges of the fitting support
         constraint_gradient = np.column_stack([
             self.model[..., 0], self.model[..., 1] - self.model[..., 0],
             self.model[..., -1], self.model[..., -2] - self.model[..., -1]])
@@ -376,7 +396,7 @@ class Brieden2022PowerSpectrumBAOFilter(BasePowerSpectrumBAOFilter):
         self.ik_fid_peaks = []
         for si in [1.0, -1.0]:
             ix = signal.find_peaks(si * self.ratio_fid[ik0:, 0])[0] + ik0
-            ix = np.concatenate([[0]] * (ix[0] > 0) + [ix] + [[-1]] * (ix[-1] < self.k_fid.size - 1), axis=0)
+            ix = np.concatenate([[0]] * bool(ix[0] > 0) + [ix] + [[-1]] * bool(ix[-1] < self.k_fid.size - 1), axis=0)
             self.ik_fid_peaks.append(ix)
         self.ratio_now_fid = self._interp(*self.ik_fid_peaks, self.k_fid, self.ratio_fid)
 
@@ -444,7 +464,7 @@ class PeakAveragePowerSpectrumBAOFilter(BasePowerSpectrumBAOFilter):
         self.k_peaks, self.pad_peaks = [], []
         for si in [1.0, -1.0]:
             ik = signal.find_peaks(si * ratio[ik0:] / pknow_correction[ik0:])[0] + ik0
-            npadlow = index[0]
+            npadlow = int(index[0])
             ik = ik + npadlow
             ikmax = max(index[-1], ik[-1] + 1)
             self.pad_peaks.append((npadlow, len(ik), self.k.size - ikmax))

@@ -17,7 +17,6 @@ Reference parity targets: parameter names/aliases/conflicts
 derived-parameter ``get`` (327-415), background physics (1627-2093).
 """
 
-import os
 import sys
 
 import jax
@@ -25,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants, utils
-from .ops import bcast_dtype, bisect, bracket, exception, exception_or_nan, flatarray
+from .ops import bisect, bracket, exception, exception_or_nan, flatarray
 from .ops import gauss_laguerre_nodes, odeint, romberg
 from .ops.roots import for_cond_loop
 from .ops.spline import Interpolator1D

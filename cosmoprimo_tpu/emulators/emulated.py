@@ -55,10 +55,11 @@ class EmulatedEngine(BaseEngine):
     def __init__(self, cosmo, **extra_params):
         super().__init__(cosmo, **extra_params)
         emulator = getattr(self.__class__, '_emulator', None)
-        if emulator is None:
+        path = self._extra_params.get('path', self.path)
+        if emulator is None or path is not self.path:
             from .base import Emulator
             emulator = Emulator()
-            paths = self.path if isinstance(self.path, dict) else {str(self.path): None}
+            paths = path if isinstance(path, dict) else {str(path): None}
             for path, url in paths.items():
                 if not os.path.exists(path):
                     raise CosmologyError(
@@ -70,7 +71,8 @@ class EmulatedEngine(BaseEngine):
                 emulator.defaults.update(other.defaults)
                 emulator.fixed.update(other.fixed)
                 emulator.xoperations += other.xoperations
-            self.__class__._emulator = emulator
+            if path is self.path:  # cache only the class-default emulator
+                self.__class__._emulator = emulator
         self._emulator = emulator
 
         self._A_s = self._get_A_s_fid()
@@ -86,6 +88,17 @@ class EmulatedEngine(BaseEngine):
                 if param in params:
                     continue
                 try:
+                    if param in ('theta_MC_100', 'theta_cosmomc'):
+                        # derived from the background; use the ODE default
+                        # background (reference hybrid.py:18-21 serves exactly
+                        # that) instead of self.get_background(), which would
+                        # recurse into this engine mid-initialization
+                        from ..cosmology import DefaultBackground, _compute_rs_cosmomc
+                        ba = DefaultBackground(self)
+                        rs, zstar = _compute_rs_cosmomc(self['omega_b'], self['omega_m'], ba.hubble_function)
+                        theta = rs * ba.h / ba.comoving_angular_distance(zstar)
+                        params[param] = theta * (100.0 if param == 'theta_MC_100' else 1.0)
+                        continue
                     params[param] = self[param]
                 except CosmologyError:
                     if param == 'sigma8':  # cosmology gives A_s, emulator wants sigma8
@@ -166,7 +179,14 @@ class Background(BaseBackground):
 
     def __init__(self, engine):
         super().__init__(engine)
-        self.__setstate__(engine._predict(section='background'))
+        state = engine._predict(section='background')
+        if not any(name != 'z' for name in state):
+            # hybrid mode (reference emulators/hybrid.py:18-21): the emulator
+            # file carries no background nets, so serve the ODE-computed
+            # default background through the same table interface
+            from ..cosmology import DefaultBackground
+            state = Background.__getstate__(DefaultBackground(engine))
+        self.__setstate__(state)
 
     @flatarray()
     def rho_ncdm(self, z, species=None):
@@ -421,6 +441,15 @@ class Fourier(BaseSection):
                 self._state[keyname] = value
 
 
+def get_train_dir():
+    """Directory holding pretrained emulator files: COSMOPRIMO_EMULATOR_DIR
+    if set, else ~/.cosmoprimo/emulators (reference emulators/hybrid.py:8-12,
+    which defaults to the in-package train/ directory and downloads from
+    GitHub; this build is zero-egress so files must be provided locally)."""
+    return os.getenv('COSMOPRIMO_EMULATOR_DIR',
+                     os.path.join(os.path.expanduser('~'), '.cosmoprimo', 'emulators'))
+
+
 @register_engine
 class CAPSEEngine(EmulatedEngine):
     """Capse.jl pretrained Cl emulator (arXiv:2307.14339); requires the
@@ -439,3 +468,14 @@ class CosmopowerBolliet2023Engine(EmulatedEngine):
     name = 'cosmopower_bolliet2023'
     path = os.path.join(os.getenv('COSMOPRIMO_EMULATOR_DIR', os.path.join(os.path.expanduser('~'), '.cosmoprimo', 'emulators')),
                         'cosmopower_bolliet2023', 'emulator.npy')
+
+
+@register_engine
+class CambMnuW0WaCMBEngine(EmulatedEngine):
+    """Pretrained CAMB base_mnu_w_wa thermodynamics + CMB Cl emulator
+    (reference emulators/hybrid.py:35-38, name ``emu_camb_mnu_w_wa_cmb``);
+    requires the converted emulator file locally (no egress)."""
+
+    name = 'emu_camb_mnu_w_wa_cmb'
+    path = os.path.join(os.getenv('COSMOPRIMO_EMULATOR_DIR', os.path.join(os.path.expanduser('~'), '.cosmoprimo', 'emulators')),
+                        'camb_base_mnu_w_wa', 'emulator.npy')

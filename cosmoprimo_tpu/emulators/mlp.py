@@ -12,8 +12,6 @@ row-parallel output contraction); XLA inserts the psum/all-gather
 collectives from the sharding annotations.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,6 @@ locals — no builtins.
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 _OPERATION_REGISTRY = {}

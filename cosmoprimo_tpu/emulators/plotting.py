@@ -48,3 +48,100 @@ def plot_residuals(residuals, fn=None, quantiles=(0.68, 0.95, 1.0)):
         utils.mkdir(os.path.dirname(str(fn)))
         fig.savefig(fn, dpi=120)
     return fig
+
+def _emulated_predictions(emulated_samples, X, section):
+    """Predictions of ``emulated_samples`` at input points ``X``.
+
+    ``emulated_samples`` may be a Samples (columns read directly), a
+    Cosmology (its ``section`` recomputed per point through get_calculator)
+    or an Emulator/calculator. Mirrors the flexible ``emulated_samples``
+    argument of the reference's plotting helpers (emulators/plotting.py:30+).
+    """
+    from . import Samples, get_calculator
+    if isinstance(emulated_samples, Samples) or (hasattr(emulated_samples, 'keys') and not hasattr(emulated_samples, 'get_background')):
+        return {name[2:]: np.asarray(emulated_samples[name]) for name in emulated_samples
+                if str(name).startswith('Y.')}
+    from .samples import CalculatorComputationError
+    calculator = get_calculator(emulated_samples, section=[section])
+    npoints = len(next(iter(X.values())))
+    rows = []
+    for i in range(npoints):
+        try:
+            rows.append(calculator(**{name: float(np.asarray(value)[i]) for name, value in X.items()}))
+        except CalculatorComputationError:
+            rows.append(None)
+    template = next(row for row in rows if row is not None)
+    return {name: np.array([np.asarray(row[name]) if row is not None and row[name] is not None
+                            else np.full(np.shape(template[name]), np.nan) for row in rows])
+            for name in template if template[name] is not None}
+
+
+def _plot_residual_section(ref_samples, emulated_samples, section, quantities=None,
+                           subsample=1.0, q=(0.68, 0.95, 0.99), fn=None, relative=True):
+    """Quantile bands of the (relative) emulation error per quantity of a
+    section, evaluated at the reference sample points."""
+    finite = ref_samples.isfinite() if hasattr(ref_samples, 'isfinite') else slice(None)
+    X = {name[2:]: np.asarray(ref_samples[name])[finite] for name in ref_samples if str(name).startswith('X.')}
+    ref_samples = {name: np.asarray(value)[finite] for name, value in ref_samples.items()}
+    npoints = len(next(iter(X.values())))
+    if subsample < 1.0:
+        rng = np.random.default_rng(11)
+        index = np.sort(rng.choice(npoints, size=max(1, int(subsample * npoints)), replace=False))
+        X = {name: value[index] for name, value in X.items()}
+    else:
+        index = np.arange(npoints)
+    pred = _emulated_predictions(emulated_samples, X, section)
+    residuals = {}
+    for name in ref_samples:
+        name = str(name)
+        if not name.startswith(f'Y.{section}.'):
+            continue
+        qname = name[2:]
+        if quantities is not None and qname[len(section) + 1:] not in quantities:
+            continue
+        if qname not in pred:
+            continue
+        truth = np.asarray(ref_samples[name])[index]
+        guess = np.asarray(pred[qname])
+        if truth.size == 0 or guess.shape != truth.shape:
+            continue
+        scale = np.maximum(np.abs(truth), 1e-30) if relative else 1.0
+        residuals[qname] = np.abs(guess - truth) / scale
+    return plot_residuals(residuals, fn=fn, quantiles=q)
+
+
+def plot_residual_background(ref_samples, emulated_samples, quantities=None, subsample=1.0,
+                             q=(0.68, 0.95, 0.99), color='C0', fn=None):
+    """Background-section residual bands (reference emulators/plotting.py:30-93)."""
+    return _plot_residual_section(ref_samples, emulated_samples, 'background',
+                                  quantities=quantities, subsample=subsample, q=q, fn=fn)
+
+
+def plot_residual_thermodynamics(ref_samples, emulated_samples, quantities=None, subsample=1.0,
+                                 q=(0.68, 0.95, 0.99), color='C0', fn=None):
+    """Thermodynamics-section residual bands (reference emulators/plotting.py:95-152)."""
+    return _plot_residual_section(ref_samples, emulated_samples, 'thermodynamics',
+                                  quantities=quantities, subsample=subsample, q=q, fn=fn)
+
+
+def plot_residual_primordial(ref_samples, emulated_samples, quantities=None, subsample=1.0, fn=None):
+    """Primordial-section residual bands (reference emulators/plotting.py:154-205)."""
+    return _plot_residual_section(ref_samples, emulated_samples, 'primordial',
+                                  quantities=quantities, subsample=subsample, fn=fn)
+
+
+def plot_residual_harmonic(ref_samples, emulated_samples, quantities=None, fsky=1.0, subsample=1.0,
+                           q=(0.68, 0.95, 0.99), color='C0', fn=None):
+    """Cl residual bands; ``fsky`` kept for reference signature parity
+    (emulators/plotting.py:207-283, which scales by cosmic variance)."""
+    return _plot_residual_section(ref_samples, emulated_samples, 'harmonic',
+                                  quantities=quantities, subsample=subsample, q=q, fn=fn)
+
+
+def plot_residual_fourier(ref_samples, emulated_samples, quantities=None, iz=0, volume=1e9,
+                          kstep=5e-3, subsample=1.0, q=(0.68, 0.95, 0.99), color='C0', fn=None):
+    """pk residual bands; ``iz``/``volume``/``kstep`` kept for reference
+    signature parity (emulators/plotting.py:285+, which scales by the
+    Gaussian pk variance in a ``volume`` survey)."""
+    return _plot_residual_section(ref_samples, emulated_samples, 'fourier',
+                                  quantities=quantities, subsample=subsample, q=q, fn=fn)

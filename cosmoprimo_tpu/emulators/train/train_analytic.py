@@ -13,7 +13,6 @@ Usage:
 """
 
 import argparse
-import os
 
 import numpy as np
 

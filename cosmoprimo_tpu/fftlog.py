@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.fft import irfft_pair, rfft_pair
-from .ops.special import gamma as _gamma, loggamma as _loggamma
+from .ops.special import loggamma as _loggamma
 
 
 def _is_traced(*arrays):

@@ -11,8 +11,6 @@ import csv
 import os
 import re
 
-import numpy as np
-
 from . import constants
 from .cosmology import Cosmology, get_engine
 

@@ -13,8 +13,6 @@ translation functions are pure and unit-tested without the external codes.
 pyclass / camb are imported lazily and a clear error is raised when absent.
 """
 
-import warnings
-
 import numpy as np
 
 import jax.numpy as jnp

@@ -6,16 +6,14 @@ HS96 z_drag variant; growth approximations from Carroll, Press & Turner
 target; all formulae are published fitting functions re-derived here in jnp).
 """
 
-import warnings
-
 import jax.numpy as jnp
 import numpy as np
 
 from .. import constants, utils
-from ..cosmology import (BaseEngine, BaseSection, CosmologyError, DefaultBackground,
+from ..cosmology import (BaseEngine, BaseSection, DefaultBackground,
                          register_engine, register_section)
 from ..interpolator import PowerSpectrumInterpolator1D, PowerSpectrumInterpolator2D
-from ..ops import exception, flatarray
+from ..ops import flatarray
 
 
 def compute_eh98_coefficients(engine):

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cosmology import BaseEngine, BaseSection, CosmologyError, register_engine, register_section
-from ..ops import exception, flatarray
+from ..ops import exception
 
 
 @register_engine

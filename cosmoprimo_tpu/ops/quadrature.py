@@ -8,7 +8,6 @@ cleanly and XLA sees fixed shapes.
 
 import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -16,8 +16,6 @@ what the reference uses on its CPU path (cosmoprimo/jax.py:169-175), so
 differential tests against scipy hold to float64 round-off.
 """
 
-from dataclasses import dataclass, field
-
 import jax
 import jax.numpy as jnp
 import numpy as np

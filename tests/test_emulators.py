@@ -248,3 +248,54 @@ def test_capse_style_harmonic_serving(tmp_path):
     assert np.isfinite(g) and g != 0
     # Cl scales with A_s ~ exp(logA): d(sum)/dlogA ~ sum at leading order
     assert abs(g / float(tt_sum(3.0)) - 1) < 0.5
+
+
+def test_hybrid_background_fallback(tmp_path):
+    # an emulator trained on thermodynamics only: the emulated engine must
+    # serve the ODE default background (reference hybrid.py design) and
+    # resolve theta_MC_100 inputs without recursing into itself
+    from cosmoprimo_tpu.emulators import PointEmulatorEngine, Samples
+    cosmo = Cosmology(omega_cdm=0.12, omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649,
+                      engine='eisenstein_hu')
+    emulator = Emulator(engine=PointEmulatorEngine())
+    emulator.set_samples(samples=Samples({'X.theta_MC_100': np.array([1.04, 1.041]),
+                                          'Y.thermodynamics.rs_drag': np.array([147.0, 147.2]),
+                                          'Y.thermodynamics.z_drag': np.array([1060.0, 1060.5])}))
+    emulator.fit()
+    path = str(tmp_path / 'thermo_only.npy')
+    emulator.write(path)
+
+    # extra_params path binding (no subclassing needed)
+    cosmo_emu = Cosmology(omega_cdm=0.12, omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649,
+                          engine='emulated', extra_params={'path': path})
+    assert abs(float(cosmo_emu.get_thermodynamics().rs_drag) - 147.0) < 1e-10
+    # background falls back to the ODE tables and matches the source engine
+    z = np.array([0.5, 1.0, 2.0])
+    chi_emu = np.asarray(cosmo_emu.get_background().comoving_radial_distance(z))
+    chi_ref = np.asarray(cosmo.get_background().comoving_radial_distance(z))
+    np.testing.assert_allclose(chi_emu, chi_ref, rtol=1e-5)
+
+
+def test_train_boltzmann_configs():
+    from cosmoprimo_tpu.emulators.train.train_boltzmann import CONFIGS, make_reparam, build_cosmology
+    assert set(CONFIGS) == {'base', 'base_mnu', 'base_w_wa', 'base_mnu_w_wa'}
+    assert 'm_ncdm' in CONFIGS['base_mnu_w_wa'] and 'w0_fld' in CONFIGS['base_mnu_w_wa']
+    assert 'm_ncdm' not in CONFIGS['base_w_wa']
+    cosmo = build_cosmology('eisenstein_hu', 'base_w_wa')
+    update_params, reparam = make_reparam(cosmo, list(CONFIGS['base_w_wa']))
+    params = update_params(CONFIGS['base_w_wa'])
+    assert 'h' not in params and params['theta_MC_100'] == (1.02, 1.06)
+
+
+def test_residual_plot_helpers(tmp_path):
+    pytest.importorskip('matplotlib')
+    from cosmoprimo_tpu.emulators import Samples
+    from cosmoprimo_tpu.emulators.plotting import plot_residual_thermodynamics
+    # reference samples with one NaN row (failed evaluation) and an emulated
+    # Samples (column-served) prediction source
+    ref = Samples({'X.omega_cdm': np.array([0.11, 0.12, 0.13]),
+                   'Y.thermodynamics.rs_drag': np.array([148.0, np.nan, 146.0])})
+    emu = Samples({'X.omega_cdm': np.array([0.11, 0.12, 0.13]),
+                   'Y.thermodynamics.rs_drag': np.array([148.1, 147.0, 145.8])})
+    fig = plot_residual_thermodynamics(ref, emu, fn=str(tmp_path / 'thermo.png'))
+    assert (tmp_path / 'thermo.png').exists()

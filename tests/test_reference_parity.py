@@ -122,3 +122,59 @@ def test_theta_cosmomc_parity(pair):
     to = float(ours['theta_cosmomc'])
     tt = float(theirs['theta_cosmomc'])
     assert abs(to / tt - 1) < 3e-6  # reference invariant tolerance
+
+
+def test_bao_filter_parity(pair):
+    """Same input pk through our BAO filters and the reference's."""
+    ours, theirs = pair
+    import cosmoprimo.bao_filter  # noqa: F401  (registers reference filters)
+    from cosmoprimo_tpu.bao_filter import PowerSpectrumBAOFilter as OurPkFilter
+    from cosmoprimo.bao_filter import PowerSpectrumBAOFilter as RefPkFilter
+
+    pk_ours = ours.get_fourier().pk_interpolator().to_1d(z=0.0)
+    pk_theirs = theirs.get_fourier().pk_interpolator().to_1d(z=0.0)
+
+    for engine, rtol in [('hinton2017', 1e-6), ('ehpoly', 1e-5), ('wallish2018', 1e-4)]:
+        f_o = OurPkFilter(pk_ours, engine=engine, cosmo=ours)
+        f_t = RefPkFilter(pk_theirs, engine=engine, cosmo=theirs)
+        k = np.asarray(f_o.k)
+        mask = (k > 5e-3) & (k < 1.0)
+        po = np.asarray(f_o.pknow).reshape(len(k), -1)[mask, 0]
+        pt = np.asarray(f_t.pknow).reshape(len(np.asarray(f_t.k)), -1)[mask, 0]
+        np.testing.assert_allclose(po, pt, rtol=rtol, err_msg=engine)
+
+
+def test_kirkby_filter_parity(pair):
+    ours, theirs = pair
+    from cosmoprimo_tpu.bao_filter import CorrelationFunctionBAOFilter as OurXiFilter
+    from cosmoprimo.bao_filter import CorrelationFunctionBAOFilter as RefXiFilter
+
+    xi_ours = ours.get_fourier().pk_interpolator().to_1d(z=0.0).to_xi()
+    xi_theirs = theirs.get_fourier().pk_interpolator().to_1d(z=0.0).to_xi()
+    f_o = OurXiFilter(xi_ours, engine='kirkby2013', cosmo=ours)
+    f_t = RefXiFilter(xi_theirs, engine='kirkby2013', cosmo=theirs)
+    s = np.asarray(f_o.s)
+    mask = (s > 20) & (s < 250)
+    xo = np.asarray(f_o.xinow).reshape(len(s), -1)[mask, 0]
+    xt = np.asarray(f_t.xinow).reshape(len(np.asarray(f_t.s)), -1)[mask, 0]
+    np.testing.assert_allclose(xo, xt, rtol=1e-4, atol=1e-10)
+
+
+def test_peak_filters_parity(pair):
+    """brieden2022 / peakaverage need a fiducial cosmology with an engine."""
+    ours, theirs = pair
+    from cosmoprimo_tpu.cosmology import Cosmology
+    from cosmoprimo_tpu.bao_filter import PowerSpectrumBAOFilter as OurPkFilter
+    from cosmoprimo.bao_filter import PowerSpectrumBAOFilter as RefPkFilter
+    fid_o = Cosmology(engine='eisenstein_hu')
+    fid_t = ref.Cosmology(engine='eisenstein_hu')
+    pk_o = ours.get_fourier().pk_interpolator().to_1d(z=0.0)
+    pk_t = theirs.get_fourier().pk_interpolator().to_1d(z=0.0)
+    for engine, rtol in [('brieden2022', 1e-4), ('peakaverage', 1e-3)]:
+        f_o = OurPkFilter(pk_o, engine=engine, cosmo=ours, cosmo_fid=fid_o)
+        f_t = RefPkFilter(pk_t, engine=engine, cosmo=theirs, cosmo_fid=fid_t)
+        k = np.asarray(f_o.k)
+        mask = (k > 5e-3) & (k < 0.8)
+        po = np.asarray(f_o.pknow).reshape(len(k), -1)[mask, 0]
+        pt = np.asarray(f_t.pknow).reshape(len(np.asarray(f_t.k)), -1)[mask, 0]
+        np.testing.assert_allclose(po, pt, rtol=rtol, err_msg=engine)
