@@ -8,6 +8,8 @@ taylor.py, emulated.py, __init__.py).
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from ..interpolator import PowerSpectrumInterpolator1D
 from .base import (BaseEmulatorEngine, Emulator as _ToolsEmulator, EmulatedCalculator, PointEmulatorEngine,
                    find_names, get_engine, make_list)
@@ -81,6 +83,29 @@ class DiffSampler(BaseSampler, _ToolsDiffSampler):
 
 class QMCSampler(BaseSampler, _ToolsQMCSampler):
     pass
+
+
+def batch_vmap(func, *vargs, batch_size=None, **vkwargs):
+    """vmap ``func`` over the leading axis in chunks of ``batch_size``:
+    bounds peak memory when mapping big emulator batches (reference
+    emulators/tools/base.py:34-56, generalized from dict-of-arrays to any
+    pytree of arrays)."""
+    import jax
+    vfunc = jax.vmap(func, *vargs, **vkwargs)
+
+    def wrapper(*args):
+        leaves = jax.tree_util.tree_leaves(args)
+        size = len(leaves[0]) if leaves else 0
+        nbatch = 1 if batch_size is None else (size + batch_size - 1) // max(1, batch_size)
+        chunks = []
+        for ibatch in range(nbatch):
+            sl = slice(ibatch * size // nbatch, (ibatch + 1) * size // nbatch)
+            chunks.append(vfunc(*jax.tree_util.tree_map(lambda leaf: leaf[sl], args)))
+        if nbatch == 1:
+            return chunks[0]
+        return jax.tree_util.tree_map(lambda *parts: jnp.concatenate(parts, axis=0), *chunks)
+
+    return wrapper
 
 
 def smoothstep(x, xmin=0, xmax=1, order=1):

@@ -49,17 +49,19 @@ def plot_residuals(residuals, fn=None, quantiles=(0.68, 0.95, 1.0)):
         fig.savefig(fn, dpi=120)
     return fig
 
-def _emulated_predictions(emulated_samples, X, section):
+def _emulated_predictions(emulated_samples, X, section, take=None):
     """Predictions of ``emulated_samples`` at input points ``X``.
 
-    ``emulated_samples`` may be a Samples (columns read directly), a
-    Cosmology (its ``section`` recomputed per point through get_calculator)
-    or an Emulator/calculator. Mirrors the flexible ``emulated_samples``
-    argument of the reference's plotting helpers (emulators/plotting.py:30+).
+    ``emulated_samples`` may be a Samples (columns read directly, sliced by
+    ``take`` — absolute row indices matching ``X``), a Cosmology (its
+    ``section`` recomputed per point through get_calculator) or an
+    Emulator/calculator. Mirrors the flexible ``emulated_samples`` argument
+    of the reference's plotting helpers (emulators/plotting.py:30+).
     """
     from . import Samples, get_calculator
     if isinstance(emulated_samples, Samples) or (hasattr(emulated_samples, 'keys') and not hasattr(emulated_samples, 'get_background')):
-        return {name[2:]: np.asarray(emulated_samples[name]) for name in emulated_samples
+        take = take if take is not None else slice(None)
+        return {name[2:]: np.asarray(emulated_samples[name])[take] for name in emulated_samples
                 if str(name).startswith('Y.')}
     from .samples import CalculatorComputationError
     calculator = get_calculator(emulated_samples, section=[section])
@@ -80,7 +82,8 @@ def _plot_residual_section(ref_samples, emulated_samples, section, quantities=No
                            subsample=1.0, q=(0.68, 0.95, 0.99), fn=None, relative=True):
     """Quantile bands of the (relative) emulation error per quantity of a
     section, evaluated at the reference sample points."""
-    finite = ref_samples.isfinite() if hasattr(ref_samples, 'isfinite') else slice(None)
+    ntotal = ref_samples.size if hasattr(ref_samples, 'size') else len(next(iter(ref_samples.values())))
+    finite = ref_samples.isfinite() if hasattr(ref_samples, 'isfinite') else np.ones(ntotal, dtype=bool)
     X = {name[2:]: np.asarray(ref_samples[name])[finite] for name in ref_samples if str(name).startswith('X.')}
     ref_samples = {name: np.asarray(value)[finite] for name, value in ref_samples.items()}
     npoints = len(next(iter(X.values())))
@@ -90,7 +93,10 @@ def _plot_residual_section(ref_samples, emulated_samples, section, quantities=No
         X = {name: value[index] for name, value in X.items()}
     else:
         index = np.arange(npoints)
-    pred = _emulated_predictions(emulated_samples, X, section)
+    # absolute row indices into the unfiltered samples, for column-served
+    # prediction sources
+    take = np.flatnonzero(finite)[index]
+    pred = _emulated_predictions(emulated_samples, X, section, take=take)
     residuals = {}
     for name in ref_samples:
         name = str(name)

@@ -128,12 +128,17 @@ class BaseSampler(object):
     """Evaluate ``calculator(**params) -> dict`` over sample points; failures
     become NaN rows; results gathered on rank 0."""
 
-    def __init__(self, calculator, params, save_fn=None, save_every=100, comm=None):
+    def __init__(self, calculator, params, save_fn=None, save_every=100, comm=None, reparam=None):
         self.calculator = calculator
         self.params = dict(params)
         self.save_fn = save_fn
         self.save_every = int(save_every)
         self.comm = comm if comm is not None else get_comm()
+        # optional point transform applied before the calculator; the X
+        # columns record the *sampled* coordinates (reference
+        # tools/samples.py:342-363,418, e.g. sampling theta_MC_100 while the
+        # calculator takes h). It may raise CalculatorComputationError.
+        self.reparam = reparam if reparam is not None else (lambda x: x)
         self.samples = None
 
     def _run_points(self, points, start=0):
@@ -147,7 +152,7 @@ class BaseSampler(object):
         for i in range(start, n):
             p = {name: value[i] for name, value in points.items()}
             try:
-                state = self.calculator(**p)
+                state = self.calculator(**self.reparam(dict(p)))
                 state = {name: np.asarray(value) for name, value in state.items()}
                 template = template or {name: value.shape for name, value in state.items()}
             except CalculatorComputationError:

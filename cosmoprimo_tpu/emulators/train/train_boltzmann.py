@@ -103,11 +103,7 @@ def sample(args):
         params = update_params(params)
 
     calculator = get_calculator(cosmo, section=args.section or None)
-    if reparam is not None:
-        base_calculator = calculator
-        calculator = lambda **X: base_calculator(**reparam(X))
-
-    sampler = QMCSampler(calculator, params, engine='rqrs', seed=args.seed,
+    sampler = QMCSampler(calculator, params, engine='rqrs', seed=args.seed, reparam=reparam,
                          save_fn=args.samples_fn, save_every=args.save_every)
     samples = sampler.run(niterations=args.stop - args.start,
                           resume_from=args.samples_fn if args.resume else None)

@@ -14,4 +14,5 @@ mapping implemented here:
 """
 
 from .mesh import make_mesh, shard_array, replicate, batch_sharding
-from .distributed import get_comm, FakeComm
+from .distributed import (FakeComm, bcast_seed, get_comm, set_common_seed,
+                          set_independent_seed, split_ranks)

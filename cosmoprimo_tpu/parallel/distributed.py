@@ -111,3 +111,32 @@ def get_comm():
 def split_ranks(nitems, rank, size):
     """Indices of the items this rank owns (block distribution)."""
     return list(range(rank * nitems // size, (rank + 1) * nitems // size))
+
+
+def bcast_seed(seed=None, comm=None, size=None):
+    """Seed array broadcast from rank 0 (reference tools/mpi.py:512-535):
+    every process gets the same pool to draw per-task seeds from."""
+    comm = comm if comm is not None else get_comm()
+    if comm.Get_rank() == 0:
+        seeds = np.random.RandomState(seed).randint(0, high=0xFFFF, size=size)
+    else:
+        seeds = None
+    return comm.bcast(seeds, root=0)
+
+
+def set_common_seed(seed=None, comm=None):
+    """Seed numpy identically on all processes (reference tools/mpi.py:538-563)."""
+    comm = comm if comm is not None else get_comm()
+    seed = comm.bcast(int(np.random.RandomState(seed).randint(0, high=0xFFFFFFFF))
+                      if comm.Get_rank() == 0 else None, root=0)
+    np.random.seed(seed)
+    return seed
+
+
+def set_independent_seed(seed=None, comm=None, size=10000):
+    """Seed numpy differently (but reproducibly) per process (reference
+    tools/mpi.py:566-591)."""
+    comm = comm if comm is not None else get_comm()
+    seed = bcast_seed(seed=seed, comm=comm, size=size)[comm.Get_rank() % size]
+    np.random.seed(seed)
+    return seed

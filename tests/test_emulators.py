@@ -299,3 +299,29 @@ def test_residual_plot_helpers(tmp_path):
                    'Y.thermodynamics.rs_drag': np.array([148.1, 147.0, 145.8])})
     fig = plot_residual_thermodynamics(ref, emu, fn=str(tmp_path / 'thermo.png'))
     assert (tmp_path / 'thermo.png').exists()
+
+
+def test_batch_vmap():
+    from cosmoprimo_tpu.emulators import batch_vmap
+    x = jnp.arange(10.0)
+    fn = lambda v: {'sq': v ** 2, 'lin': 3 * v}
+    out = batch_vmap(fn, batch_size=3)(x)
+    np.testing.assert_allclose(np.asarray(out['sq']), np.arange(10.0) ** 2)
+    np.testing.assert_allclose(np.asarray(out['lin']), 3 * np.arange(10.0))
+    # no batching path and pytree args
+    out2 = batch_vmap(lambda a, b: a + b['y'])(x, {'y': 2 * x})
+    np.testing.assert_allclose(np.asarray(out2), 3 * np.arange(10.0))
+
+
+def test_sampler_reparam():
+    # X columns record sampled coordinates; calculator sees reparam(X)
+    def reparam(X):
+        X = dict(X)
+        X['b'] = X.pop('bp') - 1.0
+        return X
+    sampler = QMCSampler(toy_calculator, {'a': (0.8, 1.2), 'bp': (0.9, 1.1)},
+                         engine='rqrs', reparam=reparam)
+    samples = sampler.run(niterations=8)
+    assert 'X.bp' in samples and 'X.b' not in samples
+    truth = toy_calculator(a=float(samples['X.a'][0]), b=float(samples['X.bp'][0]) - 1.0)
+    np.testing.assert_allclose(np.asarray(samples['Y.y'][0]), truth['y'])
