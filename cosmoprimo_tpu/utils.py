@@ -205,3 +205,15 @@ def profile_trace(dirname='/tmp/jax-trace'):
             jax.profiler.stop_trace()
 
     return ctx()
+
+
+def savefig(filename, fig=None, bbox_inches='tight', pad_inches=0.1, dpi=200, **kwargs):
+    """Save (and close) a matplotlib figure, creating directories as needed
+    (reference utils.py:322-351)."""
+    from matplotlib import pyplot as plt
+    mkdir(os.path.dirname(str(filename)))
+    if fig is None:
+        fig = plt.gcf()
+    fig.savefig(str(filename), bbox_inches=bbox_inches, pad_inches=pad_inches, dpi=dpi, **kwargs)
+    plt.close(fig)
+    return fig
