@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants, utils
-from ..cosmology import (BaseEngine, BaseSection, DefaultBackground,
+from ..cosmology import (BaseEngine, BaseSection, CosmologyInputError, DefaultBackground,
                          register_engine, register_section)
 from ..interpolator import PowerSpectrumInterpolator1D, PowerSpectrumInterpolator2D
 from ..ops import flatarray
@@ -224,10 +224,22 @@ class Fourier(BaseSection):
         self.tr = engine.get_transfer()
         self.ba = engine.get_background()
         self._h = engine['h']
+        self._w0, self._wa = engine['w0_fld'], engine['wa_fld']
+        self._fnu = engine['Omega_ncdm_tot'] / engine['Omega_m']
 
-    def pk_interpolator(self, of='delta_m', **kwargs):
+    def pk_interpolator(self, of='delta_m', non_linear=False, **kwargs):
         """P(k, z) interpolator for 'delta_m' / 'theta_m' (velocity spectra
-        are rescaled by the growth rate)."""
+        are rescaled by the growth rate). ``non_linear=True`` (or 'halofit')
+        applies the native TPU halofit transform (models/halofit.py) — the
+        capability the reference delegates to CLASS/CAMB internals
+        (reference classy.py:15-71, camb.py:124-147)."""
+        if non_linear:
+            if non_linear not in (True, 'halofit', 'takahashi'):
+                raise CosmologyInputError(f'non_linear={non_linear!r} is not supported; '
+                                          "use 'halofit' (Takahashi 2012)")
+            from .halofit import halofit_pk_interpolator
+            lin = self.pk_interpolator(of=of, **kwargs)
+            return halofit_pk_interpolator(lin, self.ba, w0=self._w0, wa=self._wa, fnu=self._fnu)
         if isinstance(of, str):
             of = (of,)
         of = list(of)

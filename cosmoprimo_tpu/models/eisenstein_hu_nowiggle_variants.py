@@ -142,8 +142,18 @@ class Transfer(BaseSection):
 class Fourier(_EHFourier):
     """Power spectra with the growth folded into the 2D transfer."""
 
-    def pk_interpolator(self, of='delta_m', **kwargs):
-        """P(k, z) for 'delta_m'/'delta_cb' (+ 'theta_*' velocity rescaling)."""
+    def pk_interpolator(self, of='delta_m', non_linear=False, **kwargs):
+        """P(k, z) for 'delta_m'/'delta_cb' (+ 'theta_*' velocity rescaling);
+        ``non_linear='halofit'`` applies the native Takahashi 2012 transform
+        with the Bird 2012 massive-neutrino corrections (models/halofit.py)."""
+        if non_linear:
+            from ..cosmology import CosmologyInputError
+            if non_linear not in (True, 'halofit', 'takahashi'):
+                raise CosmologyInputError(f'non_linear={non_linear!r} is not supported; '
+                                          "use 'halofit' (Takahashi 2012)")
+            from .halofit import halofit_pk_interpolator
+            lin = self.pk_interpolator(of=of, **kwargs)
+            return halofit_pk_interpolator(lin, self.ba, w0=self._w0, wa=self._wa, fnu=self._fnu)
         if not isinstance(of, (tuple, list)):
             of = (of, of)
         ntheta = sum(o.startswith('theta_') for o in of)
