@@ -226,6 +226,7 @@ class Fourier(BaseSection):
         self._h = engine['h']
         self._w0, self._wa = engine['w0_fld'], engine['wa_fld']
         self._fnu = engine['Omega_ncdm_tot'] / engine['Omega_m']
+        self._non_linear = str(engine['non_linear'])
 
     def pk_interpolator(self, of='delta_m', non_linear=False, **kwargs):
         """P(k, z) interpolator for 'delta_m' / 'theta_m' (velocity spectra
@@ -234,7 +235,11 @@ class Fourier(BaseSection):
         capability the reference delegates to CLASS/CAMB internals
         (reference classy.py:15-71, camb.py:124-147)."""
         if non_linear:
-            if non_linear not in (True, 'halofit', 'takahashi'):
+            # non_linear=True defers to the cosmology's calculation parameter
+            # (reference semantics: classy.py/camb.py read cosmo['non_linear'])
+            if non_linear is True:
+                non_linear = self._non_linear or 'halofit'
+            if non_linear not in ('halofit', 'takahashi'):
                 raise CosmologyInputError(f'non_linear={non_linear!r} is not supported; '
                                           "use 'halofit' (Takahashi 2012)")
             from .halofit import halofit_pk_interpolator

@@ -148,7 +148,9 @@ class Fourier(_EHFourier):
         with the Bird 2012 massive-neutrino corrections (models/halofit.py)."""
         if non_linear:
             from ..cosmology import CosmologyInputError
-            if non_linear not in (True, 'halofit', 'takahashi'):
+            if non_linear is True:
+                non_linear = self._non_linear or 'halofit'
+            if non_linear not in ('halofit', 'takahashi'):
                 raise CosmologyInputError(f'non_linear={non_linear!r} is not supported; '
                                           "use 'halofit' (Takahashi 2012)")
             from .halofit import halofit_pk_interpolator

@@ -122,6 +122,17 @@ def test_halofit_variants_engine():
     assert abs(r[0] - 1) < 2e-2 and r[1] > 2.0
 
 
+def test_non_linear_cosmology_param(cosmo, lin):
+    # non_linear=True defers to the cosmology's calculation parameter
+    c2 = cosmo.clone(non_linear='halofit')
+    nl_a = c2.get_fourier().pk_interpolator(non_linear=True)
+    nl_b = cosmo.get_fourier().pk_interpolator(non_linear='halofit')
+    k = np.array([0.1, 1.0])
+    np.testing.assert_allclose(np.asarray(nl_a(k, z=0.0)), np.asarray(nl_b(k, z=0.0)), rtol=1e-12)
+    from cosmoprimo_tpu.cosmology import CosmologyInputError
+    with pytest.raises(CosmologyInputError):
+        cosmo.get_fourier().pk_interpolator(non_linear='mead')
+
 if __name__ == '__main__':
     import sys
     sys.exit(pytest.main([__file__, '-q']))
