@@ -428,6 +428,16 @@ class Fourier(BaseSection):
                         self.pk_interpolator(non_linear=False, of=of)(k, z))
                 except Exception:
                     pass
+        # non-linear tables only when the source cosmology requested them
+        # (reference emulated.py:474-504 'pk_non_linear' quantities)
+        if getattr(self, '_non_linear', ''):
+            znl = get_default_z_callable(non_linear=True)
+            try:
+                state['pk_non_linear.delta_m.delta_m'] = np.asarray(
+                    self.pk_interpolator(non_linear=True, of='delta_m')(k, znl))
+                state['z_non_linear'] = znl
+            except Exception:
+                pass
         return state
 
     def __setstate__(self, state):

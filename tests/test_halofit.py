@@ -133,6 +133,30 @@ def test_non_linear_cosmology_param(cosmo, lin):
     with pytest.raises(CosmologyInputError):
         cosmo.get_fourier().pk_interpolator(non_linear='mead')
 
+def test_halofit_emulated_roundtrip(tmp_path):
+    # non-linear tables flow through the emulator train->serve loop
+    # (reference emulated.py pk_non_linear quantities)
+    from cosmoprimo_tpu.emulators import Emulator, PointEmulatorEngine, Samples, get_calculator
+    c = Cosmology(engine='eisenstein_hu', non_linear='halofit', omega_cdm=0.12, omega_b=0.02237,
+                  h=0.6736, A_s=2.083e-9, n_s=0.9649)
+    calc = get_calculator(c, section=['fourier'])
+    s1, s2 = calc(omega_cdm=0.12), calc(omega_cdm=0.121)
+    assert 'fourier.pk_non_linear.delta_m.delta_m' in s1
+    data = {'X.omega_cdm': np.array([0.12, 0.121])}
+    for name in s1:
+        data['Y.' + name] = np.stack([np.asarray(s1[name]), np.asarray(s2[name])])
+    emu = Emulator(engine=PointEmulatorEngine())
+    emu.set_samples(samples=Samples(data))
+    emu.fit()
+    path = str(tmp_path / 'emu_nl.npy')
+    emu.write(path)
+    ce = Cosmology(engine='emulated', extra_params={'path': path}, omega_cdm=0.12,
+                   omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649)
+    k = np.array([0.1, 1.0])
+    served = np.asarray(ce.get_fourier().pk_interpolator(non_linear=True)(k, z=0.0))
+    direct = np.asarray(c.get_fourier().pk_interpolator(non_linear=True)(k, z=0.0))
+    np.testing.assert_allclose(served, direct, rtol=1e-10)
+
 if __name__ == '__main__':
     import sys
     sys.exit(pytest.main([__file__, '-q']))
