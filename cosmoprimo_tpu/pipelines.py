@@ -16,10 +16,14 @@ from .fftlog import PowerToCorrelation
 
 
 def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu', z=jnp.array([0.0]),
-                           fft_engine='auto'):
+                           fft_engine='auto', non_linear=False):
     """Build (fn, k, s): ``fn(omega_cdm, omega_b, h, n_s, logA)`` returns
     (xi(s, z), chi(zq), sigma8) for one cosmology; the FFTLog setup (static
     grids, Mellin coefficients) is computed once and closed over.
+
+    ``non_linear='halofit'`` inserts the native halofit transform between
+    the linear P(k, z) table and the FFTLog (one extra (nR, nk)x(nk, nz)
+    matmul per cosmology), yielding non-linear xi(s, z) at batch scale.
 
     vmap ``fn`` for the batched BASELINE workload.
     """
@@ -44,11 +48,19 @@ def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu',
         fo = cosmo.get_fourier()
         pk = fo.pk_interpolator()
         pkz = pk(k, z, ignore_growth=False)                  # (nk, nz)
-        s, xi = p2c(pkz.T)                                   # (nz, nk)
         ba = cosmo.get_background()
-        chi = ba.comoving_radial_distance(zq)
-        # reuse the z = 0 column of pkz when available
+        # sigma8 is defined on the LINEAR spectrum: reuse the z = 0 column
+        # before any non-linear transform
         pk0 = pkz[:, _iz0] if _z0_in_grid else pk(k, jnp.array([0.0]))[:, 0]
+        if non_linear:
+            from .models.halofit import halofit
+            zz = jnp.atleast_1d(z)
+            pkz = halofit(k, pkz, ba.Omega_m(zz), ba.Omega_de(zz),
+                          cosmo['w0_fld'] + cosmo['wa_fld'] * zz / (1.0 + zz),
+                          fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
+                          Omega_m0=cosmo['Omega_m'])
+        s, xi = p2c(pkz.T)                                   # (nz, nk)
+        chi = ba.comoving_radial_distance(zq)
         sigma8 = jnp.sqrt(simpson(pk0 * _w8, x=_lnk) / (2.0 * jnp.pi ** 2))
         return xi, chi, sigma8
 

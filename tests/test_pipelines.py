@@ -54,3 +54,26 @@ def test_fisher_jacfwd():
     for f in F:
         evals = np.linalg.eigvalsh(f)
         assert evals.min() > 0
+
+
+def test_pipeline_non_linear():
+    import jax
+    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline
+    fn_lin, k, s = make_pk_to_xi_pipeline(nk=256, engine='eisenstein_hu')
+    fn_nl, _, _ = make_pk_to_xi_pipeline(nk=256, engine='eisenstein_hu', non_linear='halofit')
+    args = (0.12, 0.02237, 0.6736, 0.9649, 3.036)
+    xi_l, chi_l, s8_l = jax.jit(fn_lin)(*args)
+    xi_n, chi_n, s8_n = jax.jit(fn_nl)(*args)
+    assert np.all(np.isfinite(np.asarray(xi_n)))
+    np.testing.assert_allclose(np.asarray(chi_n), np.asarray(chi_l), rtol=1e-12)
+    # sigma8 stays the LINEAR amplitude by definition
+    np.testing.assert_allclose(float(s8_n), float(s8_l), rtol=1e-12)
+    # small-scale xi strongly enhanced, BAO-scale xi barely moves
+    xi_l, xi_n = np.asarray(xi_l)[0], np.asarray(xi_n)[0]
+    i1 = np.argmin(np.abs(s - 1.0)); i50 = np.argmin(np.abs(s - 50.0))
+    assert xi_n[i1] / xi_l[i1] > 2.0
+    assert abs(xi_n[i50] / xi_l[i50] - 1) < 0.05
+    # batched
+    import jax.numpy as jnp
+    batch = jax.vmap(fn_nl)(*[jnp.full(4, a) for a in args])
+    assert np.all(np.isfinite(np.asarray(batch[0])))
