@@ -33,6 +33,7 @@ _API = {
     'AbacusSummit': 'fiducial', 'TabulatedDESI': 'fiducial', 'fiducial': 'fiducial',
     'FFTlog': 'fftlog', 'PowerToCorrelation': 'fftlog', 'CorrelationToPower': 'fftlog',
     'TophatVariance': 'fftlog', 'GaussianVariance': 'fftlog', 'HankelTransform': 'fftlog',
+    'halofit': 'models.halofit', 'halofit_pk_interpolator': 'models.halofit',
 }
 
 
