@@ -25,7 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..interpolator import PowerSpectrumInterpolator2D
-from ..ops.spline import cubic_eval, natural_cubic_coeffs
+from ..ops.spline import natural_cubic_coeffs
 
 
 def sigma_gauss2(k, pk_kz, R):
@@ -58,24 +58,33 @@ def _nonlinear_scale(lnR, lnsig2, niter=12):
     # (fully linear / fully collapsed) inside the grid — masked by the caller
     i = jnp.clip(jnp.sum(y > 0, axis=0) - 1, 0, lnR.shape[0] - 2)
     lo, hi = lnR[i], lnR[i + 1]
-    y_lo = jnp.take_along_axis(y, i[None, :], axis=0)[0]
-    y_hi = jnp.take_along_axis(y, i[None, :] + 1, axis=0)[0]
+    # the Newton iterate stays clipped inside this one bracketed segment, so
+    # gather its cubic piece once and iterate on closed-form polynomial
+    # arithmetic (compiles orders of magnitude faster than re-evaluating the
+    # whole spline per iteration)
+    take = lambda a, j: jnp.take_along_axis(a, j[None, :], axis=0)[0]
+    y_lo, y_hi = take(y, i), take(y, i + 1)
+    M_lo, M_hi = take(M, i), take(M, i + 1)
+    h = hi - lo
+
+    def piece(x, nu):
+        dl, dr = x - lo, hi - x
+        if nu == 0:
+            return (M_lo * dr ** 3 / (6 * h) + M_hi * dl ** 3 / (6 * h)
+                    + (y_lo / h - M_lo * h / 6) * dr + (y_hi / h - M_hi * h / 6) * dl)
+        if nu == 1:
+            return (-M_lo * dr ** 2 / (2 * h) + M_hi * dl ** 2 / (2 * h)
+                    - (y_lo / h - M_lo * h / 6) + (y_hi / h - M_hi * h / 6))
+        return (M_lo * dr + M_hi * dl) / h
+
     # secant initial guess inside the bracket
-    x = lo + (hi - lo) * y_lo / jnp.where(y_lo == y_hi, 1.0, y_lo - y_hi)
-
-    def eval_all(x, nu):
-        # cubic_eval evaluates every z-column at every x; take the diagonal
-        # via a one-hot contraction-free gather: vectorize per column instead
-        out = cubic_eval(lnR, y, M, x, nu=nu)  # (nz, nz)
-        return jnp.diagonal(out)
-
+    x = lo + h * y_lo / jnp.where(y_lo == y_hi, 1.0, y_lo - y_hi)
     for _ in range(niter):
-        f = eval_all(x, 0)
-        df = eval_all(x, 1)
-        step = f / jnp.where(df == 0, 1.0, df)
+        df = piece(x, 1)
+        step = piece(x, 0) / jnp.where(df == 0, 1.0, df)
         x = jnp.clip(x - step, lo, hi)
-    neff = -3.0 - eval_all(x, 1)
-    C = -eval_all(x, 2)
+    neff = -3.0 - piece(x, 1)
+    C = -piece(x, 2)
     return x, neff, C
 
 
