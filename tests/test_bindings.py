@@ -1,0 +1,138 @@
+"""Bindings exercised against stub cobaya/cosmosis APIs (neither package is
+installed in this image): the adapters' math — unit conversions, datablock
+layout, requirement getters — is what these tests pin down (reference
+parity: bindings/cobaya/cosmoprimo.py, bindings/cosmosis/
+cosmoprimo_interface.py)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from cosmoprimo_tpu.cosmology import Cosmology
+
+
+@pytest.fixture(scope='module')
+def cosmo():
+    return Cosmology(engine='eisenstein_hu', omega_cdm=0.12, omega_b=0.02237, h=0.6736,
+                     A_s=2.083e-9, n_s=0.9649)
+
+
+def test_cobaya_getters(cosmo):
+    from cosmoprimo_tpu.bindings.cobaya.cosmoprimo_tpu import CosmoprimoTPU, _get_from_cosmo
+
+    theory = CosmoprimoTPU.__new__(CosmoprimoTPU)
+    theory.current_state = {'cosmo': cosmo}
+    h = float(np.asarray(cosmo['h']))
+
+    z = np.array([0.5, 1.0, 2.0])
+    H = theory.get_Hubble(z)
+    np.testing.assert_allclose(H, np.asarray(cosmo.get_background().hubble_function(z)))
+    H_invmpc = theory.get_Hubble(z, units='1/Mpc')
+    np.testing.assert_allclose(H_invmpc, H / 299792.458, rtol=1e-6)
+
+    # cobaya distances are in Mpc (not Mpc/h)
+    dA = theory.get_angular_diameter_distance(z)
+    np.testing.assert_allclose(dA, np.asarray(cosmo.get_background().angular_diameter_distance(z)) / h)
+    chi = theory.get_comoving_radial_distance(z)
+    np.testing.assert_allclose(chi, np.asarray(cosmo.get_background().comoving_radial_distance(z)) / h)
+
+    k, zgrid, pkz = theory.get_Pk_grid()
+    assert pkz.shape == (len(zgrid), len(k))
+    # 1/Mpc and Mpc^3 conventions
+    pk_ours = cosmo.get_fourier().pk_interpolator()
+    np.testing.assert_allclose(k, np.asarray(pk_ours.k) * h)
+    ik = np.argmin(np.abs(k - 0.1))
+    np.testing.assert_allclose(pkz[0, ik], float(pk_ours(k[ik] / h, z=zgrid[0])) / h ** 3, rtol=1e-10)
+
+    s8 = theory.get_sigma8_z(np.array([0.0, 1.0]))
+    assert 0.5 < s8[0] < 1.1 and s8[1] < s8[0]
+    fs8 = theory.get_fsigma8(np.array([0.5]))
+    assert 0.2 < float(fs8[0]) < 0.7
+
+    rd = theory.get_rs_drag()
+    np.testing.assert_allclose(rd, float(np.asarray(cosmo.get_thermodynamics().rs_drag)) / h)
+
+    assert abs(_get_from_cosmo(cosmo, 'omegam') - float(np.asarray(cosmo['Omega_m']))) < 1e-12
+    assert _get_from_cosmo(cosmo, 'rdrag') > 0
+
+
+class _FakeBlock(dict):
+    def __setitem__(self, key, value):
+        super().__setitem__(tuple(key) if isinstance(key, tuple) else key, value)
+
+    def has_value(self, section, name):
+        return (section, name) in self
+
+    def put_grid(self, section, zname, z, kname, k, pname, p):
+        self[section, zname] = z
+        self[section, kname] = k
+        self[section, pname] = p
+
+
+def _install_fake_cosmosis():
+    cosmosis = types.ModuleType('cosmosis')
+    datablock = types.ModuleType('cosmosis.datablock')
+    names = types.SimpleNamespace(cosmological_parameters='cosmological_parameters',
+                                  distances='distances', growth_parameters='growth',
+                                  matter_power_lin='matter_power_lin', cmb_cl='cmb_cl')
+    datablock.names = names
+    datablock.option_section = 'module_options'
+    cosmosis.datablock = datablock
+    sys.modules['cosmosis'] = cosmosis
+    sys.modules['cosmosis.datablock'] = datablock
+    return names
+
+
+def test_cosmosis_execute():
+    from cosmoprimo_tpu.bindings.cosmosis import cosmoprimo_tpu_interface as iface
+    names = _install_fake_cosmosis()
+    try:
+        class Options:
+            def get_string(self, s, n, default=''):
+                return default
+
+            def get_double(self, s, n, default=0.0):
+                return default
+
+            def get_int(self, s, n, default=0):
+                return default
+
+            def get_bool(self, s, n, default=False):
+                return default
+
+        config = iface.setup(Options())
+        block = _FakeBlock()
+        cp = names.cosmological_parameters
+        block[cp, 'h0'] = 0.6736
+        block[cp, 'omega_b'] = 0.0493
+        block[cp, 'omega_c'] = 0.2645
+        block[cp, 'n_s'] = 0.9649
+        block[cp, 'a_s'] = 2.083e-9
+        assert iface.execute(block, config) == 0
+
+        z = block['distances', 'z']
+        dc = block['distances', 'd_c']
+        da = block['distances', 'd_a']
+        assert np.all(np.diff(dc) > 0)
+        # cosmosis units: Mpc; d_a = d_m / (1+z) in a flat universe
+        np.testing.assert_allclose(da[1:], np.asarray(block['distances', 'd_m'])[1:] / (1 + z[1:]), rtol=1e-10)
+        cosmo = config['base'].clone(h=0.6736, Omega_b=0.0493, Omega_cdm=0.2645,
+                                     n_s=0.9649, A_s=2.083e-9)
+        np.testing.assert_allclose(dc, np.asarray(cosmo.get_background().comoving_radial_distance(z)) / 0.6736,
+                                   rtol=1e-10)
+        # growth and pk blocks
+        assert np.all(np.diff(block['growth', 'd_z']) < 0)
+        pkz = block['matter_power_lin', 'p_k']
+        assert pkz.shape == (len(z), len(config['k'])) and np.all(np.isfinite(pkz)) and np.all(pkz > 0)
+        assert 0.5 < block[cp, 'sigma_8'] < 1.1
+        assert iface.cleanup(config) == 0
+    finally:
+        sys.modules.pop('cosmosis', None)
+        sys.modules.pop('cosmosis.datablock', None)
+
+
+if __name__ == '__main__':
+    import sys as _sys
+    _sys.exit(pytest.main([__file__, '-q']))
