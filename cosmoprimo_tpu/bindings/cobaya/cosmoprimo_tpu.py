@@ -20,6 +20,12 @@ except ImportError:
     class BoltzmannBase(object):
         """Placeholder when cobaya is unavailable."""
 
+    class LoggedError(RuntimeError):
+        """Placeholder when cobaya is unavailable."""
+
+        def __init__(self, log, msg, *args):
+            super().__init__(msg % args if args else msg)
+
 
 def _get_from_cosmo(cosmo, name):
     """Translate a cobaya parameter name to a cosmology value."""

@@ -133,6 +133,21 @@ def test_cosmosis_execute():
         sys.modules.pop('cosmosis.datablock', None)
 
 
+def test_cobaya_calculate(cosmo):
+    from cosmoprimo_tpu.bindings.cobaya.cosmoprimo_tpu import CosmoprimoTPU, LoggedError
+
+    theory = CosmoprimoTPU.__new__(CosmoprimoTPU)
+    theory._base_cosmo = cosmo
+    theory.output_params = ['omegam', 'rdrag']
+    theory.log = None
+    state = {}
+    assert theory.calculate(state, want_derived=True, omega_cdm=0.121) is True
+    assert abs(float(np.asarray(state['cosmo']['omega_cdm'])) - 0.121) < 1e-12
+    assert state['derived']['rdrag'] > 0 and 0.2 < state['derived']['omegam'] < 0.5
+    # invalid input surfaces as the cobaya error type
+    with pytest.raises(LoggedError):
+        theory.calculate({}, want_derived=False, w0_fld=1.0, wa_fld=1.0)
+
 if __name__ == '__main__':
     import sys as _sys
     _sys.exit(pytest.main([__file__, '-q']))
