@@ -148,6 +148,27 @@ def test_cobaya_calculate(cosmo):
     with pytest.raises(LoggedError):
         theory.calculate({}, want_derived=False, w0_fld=1.0, wa_fld=1.0)
 
+def test_cobaya_get_Cl(tmp_path):
+    from test_emulators import _make_synthetic_capse
+    from cosmoprimo_tpu.emulators import EmulatedEngine
+    from cosmoprimo_tpu.bindings.cobaya.cosmoprimo_tpu import CosmoprimoTPU
+    from cosmoprimo_tpu import constants
+
+    engine_cls = EmulatedEngine.read(_make_synthetic_capse(tmp_path))
+    cl_cosmo = Cosmology(omega_cdm=0.12, omega_b=0.02237, h=0.6736, logA=3.0, n_s=0.9649,
+                         tau_reio=0.055, ellmax_cl=49, engine=engine_cls)
+    theory = CosmoprimoTPU.__new__(CosmoprimoTPU)
+    theory.current_state = {'cosmo': cl_cosmo}
+    raw = np.asarray(cl_cosmo.get_harmonic().lensed_cl()['tt'])
+
+    cl = theory.get_Cl(ell_factor=False, units='FIRASmuK2')
+    assert cl['ell'].shape == raw.shape
+    np.testing.assert_allclose(cl['tt'], raw * (constants.TCMB * 1e6) ** 2, rtol=1e-12)
+    cl2 = theory.get_Cl(ell_factor=True, units='1')
+    ell = cl2['ell']
+    np.testing.assert_allclose(cl2['tt'][2:], raw[2:] * (ell * (ell + 1) / (2 * np.pi))[2:], rtol=1e-12)
+
+
 if __name__ == '__main__':
     import sys as _sys
     _sys.exit(pytest.main([__file__, '-q']))
