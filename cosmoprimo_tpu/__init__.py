@@ -26,6 +26,9 @@ _API = {
     'Cosmology': 'cosmology', 'CosmologyError': 'cosmology', 'CosmologyInputError': 'cosmology',
     'CosmologyComputationError': 'cosmology', 'BaseEngine': 'cosmology', 'BaseSection': 'cosmology',
     'get_engine': 'cosmology',
+    # module-level section getters, reference __init__.py:1 export set
+    'Background': 'cosmology', 'Thermodynamics': 'cosmology', 'Primordial': 'cosmology',
+    'Transfer': 'cosmology', 'Harmonic': 'cosmology', 'Fourier': 'cosmology',
     'PowerSpectrumInterpolator1D': 'interpolator', 'PowerSpectrumInterpolator2D': 'interpolator',
     'CorrelationFunctionInterpolator1D': 'interpolator', 'CorrelationFunctionInterpolator2D': 'interpolator',
     'PowerSpectrumBAOFilter': 'bao_filter', 'CorrelationFunctionBAOFilter': 'bao_filter',

@@ -303,3 +303,18 @@ def test_tabulated(tmp_path, cosmo):
     np.testing.assert_allclose(np.asarray(bat.efunc(zq)), np.asarray(ba.efunc(zq)), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(bat.comoving_radial_distance(zq)),
                                np.asarray(ba.comoving_radial_distance(zq)), rtol=1e-6)
+
+
+def test_package_export_surface():
+    # the reference's top-level import set (reference __init__.py:1-5)
+    import cosmoprimo_tpu as cp
+    for name in ['Cosmology', 'Background', 'Thermodynamics', 'Primordial', 'Transfer',
+                 'Harmonic', 'Fourier', 'CosmologyError', 'CosmologyInputError',
+                 'CosmologyComputationError', 'PowerSpectrumInterpolator1D',
+                 'PowerSpectrumInterpolator2D', 'CorrelationFunctionInterpolator1D',
+                 'CorrelationFunctionInterpolator2D', 'FFTlog', 'PowerToCorrelation',
+                 'CorrelationToPower', 'TophatVariance', 'PowerSpectrumBAOFilter',
+                 'CorrelationFunctionBAOFilter', 'fiducial']:
+        assert getattr(cp, name) is not None
+    c = cp.Cosmology(engine='eisenstein_hu')
+    assert np.isfinite(float(np.asarray(cp.Background(c).efunc(1.0))))
