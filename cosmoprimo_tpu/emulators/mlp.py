@@ -159,7 +159,7 @@ class MLPEmulatorEngine(BaseEmulatorEngine):
 
     def _fit_no_operation(self, X, Y, attrs, validation_frac=0.1, optimizer='adam',
                           batch_frac=(0.1, 0.3, 1.0), epochs=1000, learning_rate=(1e-2, 1e-3, 1e-5),
-                          patience=100, seed=42, mesh=None):
+                          patience=100, seed=42, mesh=None, learning_rate_scheduling=True):
         list_batch_frac = _make_tuple(batch_frac)
         list_epochs = _make_tuple(epochs, length=len(list_batch_frac))
         list_learning_rate = _make_tuple(learning_rate, length=len(list_batch_frac))
@@ -187,6 +187,9 @@ class MLPEmulatorEngine(BaseEmulatorEngine):
             batch_size = max(int(ntrain * min(bfrac, 1.0) + 0.5), 1)
             nbatch = max(ntrain // batch_size, 1)
 
+            if learning_rate_scheduling:
+                # cosine decay over the stage (reference tools/mlp.py:7-25)
+                lr = optax.cosine_decay_schedule(init_value=lr, decay_steps=max(nepochs * nbatch, 1))
             params, opt_state, tx = init_train_state(model, jax.random.PRNGKey(seed), X[:1],
                                                      learning_rate=lr, optimizer=optimizer, mesh=mesh)
             if best_params is not None:
