@@ -11,6 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..interpolator import PowerSpectrumInterpolator1D
+from ..ops import Interpolator1D
 from .base import (BaseEmulatorEngine, Emulator as _ToolsEmulator, EmulatedCalculator, PointEmulatorEngine,
                    find_names, get_engine, make_list)
 from .operations import (ArcsinhOperation, ChebyshevOperation, Log10Operation, NormOperation, Operation,
@@ -198,6 +199,8 @@ class FourierNormOperation(Operation):
                               if name != self.ref_pk_name]
 
     def _prim(self, k, z, X):
+        # fully traced (the BBKS engine is jnp end to end), so this operation
+        # vmaps over the sample axis without host round-trips
         from ..cosmology import Cosmology
         cosmo = Cosmology(**{key: val for key, val in X.items()})
         h = cosmo['h']
@@ -208,10 +211,11 @@ class FourierNormOperation(Operation):
     def __call__(self, v, X=None, cosmo=None):
         v = dict(v)
         k, z = v['fourier.k'], v['fourier.z']
-        h, prim = self._prim(np.asarray(k), np.asarray(z), X)
+        h, prim = self._prim(k, z, X)
         for pk_name in [self.ref_pk_name] + self.norm_pk_names:
-            v[pk_name] = PowerSpectrumInterpolator1D(k, v[pk_name], extrap_kmin=k[0] / 10.0,
-                                                     extrap_kmax=k[-1] * 10.0)(k / h) / h ** 3
+            # (Mpc/h) -> Mpc units: log-log spline in k with trailing z axes
+            v[pk_name] = Interpolator1D(k, v[pk_name], interp_x='log', interp_fun='log',
+                                        extrap=True)(k / h) / h ** 3
         pk_dd = v[self.ref_pk_name]
         for pk_name in self.norm_pk_names:
             v[pk_name] = v[pk_name] / pk_dd[..., :v[pk_name].shape[-1]]
@@ -222,14 +226,14 @@ class FourierNormOperation(Operation):
     def inverse(self, v, X=None, cosmo=None):
         v = dict(v)
         k, z = v['fourier.k'], v['fourier.z']
-        h, prim = self._prim(np.asarray(k), np.asarray(z), X)
+        h, prim = self._prim(k, z, X)
         ref = v[self.ref_pk_name] * prim
         pk_dd = v[self.ref_pk_name] = ref[..., None] * v['fourier.pkz']
         for pk_name in self.norm_pk_names:
             v[pk_name] = v[pk_name] * pk_dd[..., :v[pk_name].shape[-1]]
         for pk_name in [self.ref_pk_name] + self.norm_pk_names:
-            v[pk_name] = PowerSpectrumInterpolator1D(k / h, v[pk_name] * h ** 3, extrap_kmin=k[0] / 10.0,
-                                                     extrap_kmax=k[-1] * 10.0)(k)
+            v[pk_name] = Interpolator1D(k / h, v[pk_name] * h ** 3, interp_x='log', interp_fun='log',
+                                        extrap=True)(k)
         return v
 
     def __getstate__(self):

@@ -150,9 +150,6 @@ def fit(args):
     samples = Samples.read(args.samples_fn)
     emulator = Emulator.read(args.emulator_fn) if os.path.exists(args.emulator_fn) else Emulator()
     emulator.set_engine(_engines_for(args.section, nhidden_scale=args.nhidden_scale))
-    if args.section == 'fourier':
-        emulator.yoperations = [FourierNormOperation(ref_pk_name='fourier.pk.delta_cb.delta_cb')]
-
     sections = [args.section] if args.section else list(_FIT_SCHEDULES)
     for section in sections:
         keep = [name for name in samples if name.startswith(('X.', f'Y.{section}.'))]
@@ -167,6 +164,10 @@ def fit(args):
             print(f'{section}: dropping {int((~mask).sum())}/{mask.size} non-finite samples')
             sub = sub.select(mask)
         bfrac, lr, epochs, patience = _FIT_SCHEDULES[section]
+        # factorize the pk tables by the reference spectrum before fitting
+        # (reference train_camb.py:106) — only while fitting fourier samples
+        emulator.yoperations = ([FourierNormOperation(ref_pk_name='fourier.pk.delta_cb.delta_cb')]
+                                if section == 'fourier' else [])
         emulator.set_samples(samples=sub)
         emulator.fit(name=f'{section}.*', batch_frac=bfrac, learning_rate=lr,
                      epochs=args.epochs or epochs, patience=patience)

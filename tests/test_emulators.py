@@ -325,3 +325,24 @@ def test_sampler_reparam():
     assert 'X.bp' in samples and 'X.b' not in samples
     truth = toy_calculator(a=float(samples['X.a'][0]), b=float(samples['X.bp'][0]) - 1.0)
     np.testing.assert_allclose(np.asarray(samples['Y.y'][0]), truth['y'])
+
+
+def test_fourier_norm_operation_roundtrip():
+    # forward + inverse of the pk factorization recovers the tables
+    from cosmoprimo_tpu.emulators import FourierNormOperation
+    c = Cosmology(engine='eisenstein_hu', omega_cdm=0.12, omega_b=0.02237, h=0.6736,
+                  A_s=2.083e-9, n_s=0.9649)
+    state = get_calculator(c, section=['fourier'])(omega_cdm=0.12)
+    v = {name: np.asarray(val) for name, val in state.items() if val is not None}
+    op = FourierNormOperation()
+    op.initialize(v)
+    X = {'omega_cdm': 0.12, 'omega_b': 0.02237, 'h': 0.6736, 'A_s': 2.083e-9, 'n_s': 0.9649}
+    w = op(dict(v), X=X)
+    # the normalized reference spectrum is O(1) (primordial factored out)
+    ref = np.asarray(w['fourier.pk.delta_cb.delta_cb'])
+    assert ref.ndim == 1 and np.all(ref > 0) and ref.max() / ref.min() < 1e4
+    u = op.inverse(dict(w), X=X)
+    k = v['fourier.k']
+    sel = (k > 1e-3) & (k < 10)
+    for name in ['fourier.pk.delta_m.delta_m', 'fourier.pk.delta_cb.delta_cb']:
+        np.testing.assert_allclose(u[name][sel], v[name][sel], rtol=1e-4)
