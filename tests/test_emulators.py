@@ -346,3 +346,24 @@ def test_fourier_norm_operation_roundtrip():
     sel = (k > 1e-3) & (k < 10)
     for name in ['fourier.pk.delta_m.delta_m', 'fourier.pk.delta_cb.delta_cb']:
         np.testing.assert_allclose(u[name][sel], v[name][sel], rtol=1e-4)
+
+
+def test_train_boltzmann_cli(tmp_path):
+    # end-to-end sample -> fit through the CLI entry (tiny shapes)
+    from cosmoprimo_tpu.emulators.train.train_boltzmann import main
+    out = str(tmp_path)
+    main(['--todo', 'sample', '--engine', 'eisenstein_hu', '--config', 'base',
+          '--section', 'thermodynamics', '--stop', '6', '--outdir', out])
+    fn = tmp_path / 'eisenstein_hu_base' / 'samples.npy'
+    assert fn.exists()
+    s = Samples.read(str(fn))
+    assert s.size == 6 and 'Y.thermodynamics.rs_drag' in s
+    main(['--todo', 'fit', '--engine', 'eisenstein_hu', '--config', 'base',
+          '--section', 'thermodynamics', '--epochs', '3', '--outdir', out])
+    emu_fn = tmp_path / 'eisenstein_hu_base' / 'emulator.npy'
+    assert emu_fn.exists()
+    emu = Emulator.read(str(emu_fn))
+    pred = emu.predict({name: 0.5 * (lo + hi) for name, (lo, hi) in
+                        __import__('cosmoprimo_tpu.emulators.train.train_boltzmann',
+                                   fromlist=['CONFIGS']).CONFIGS['base'].items()})
+    assert np.isfinite(np.asarray(pred['thermodynamics.rs_drag']))
