@@ -853,41 +853,55 @@ class Cosmology(ParamsAccessor):
             new.set_engine(engine_cls, **extra_params)
         return new
 
-    def solve(self, param, func, target=0.0, limits=None, init=None, xtol=1e-6, maxiter=25):
-        """Return a clone where ``func(cosmo) == target``, varying ``param``
-        by bracketing + Ridders bisection (trace-safe)."""
-        default_delta = {'h': [0.6, 0.8], 'H0': [60.0, 80.0]}
+    def solve(self, param, func, target=0.0, limits=None, init=None, xtol=None, maxiter=25):
+        """Return a clone where ``func(cosmo) == target``, varying ``param``.
+
+        ``func`` is a callable ``cosmo -> value`` or the name of a derived
+        parameter (e.g. ``'theta_MC_100'``, for which a CLASS-style initial
+        guess is used when solving for h/H0). Root finding is trace-safe
+        bracketing + Ridders bisection; explicit ``limits = (lo, hi)`` skip
+        the bracket expansion, otherwise a secant-scaled first step is built
+        around ``init`` (scalar, defaults to the current value of ``param``).
+        Reference behavior: cosmology.py:1292-1376.
+        """
+        default_step = {'h': 0.01, 'H0': 1.0}
         default_tol = {'h': 1e-6, 'H0': 1e-4}
+
+        if isinstance(func, str):
+            name = func
+
+            def func(cosmo):
+                return cosmo[name]
+
+            if name == 'theta_MC_100' and init is None and limits is None and param in ('h', 'H0'):
+                # CLASS initial guess for 100*theta_MC -> h (class_public fit)
+                h_guess = 3.54 * target ** 2 - 5.455 * target + 2.548
+                init = h_guess if param == 'h' else 100.0 * h_guess
+        if not callable(func):
+            raise CosmologyInputError(
+                f'func must be a callable cosmo -> value or a derived-parameter name, got {func!r}')
 
         def f(value):
             new = self.clone(base='input', **{param: value})
             return func(new) - target
 
-        if func == 'theta_MC_100':
-            func = lambda cosmo: cosmo['theta_MC_100']
-            if init is None and param in ('h', 'H0'):
-                # CLASS initial guess for 100*theta_MC -> h
-                init = 3.54 * target ** 2 - 5.455 * target + 2.548
-                f1 = f(init)
-                init = (init, f1, f1 * (2 * 3.54 * target - 5.455))
-                if param == 'H0':
-                    init = (100 * init[0], init[1], 100 * init[2])
-        if func is None:
-            raise CosmologyInputError('Provide func')
-        if init is None:
-            init = self[param]
-        if not _is_sequence(init):
-            delta = default_delta.get(param, None)
-            if delta is not None:
-                dx = (delta[1] - delta[0]) / 2.0
-                f1 = f(init)
-                dfdx = f(init + dx) - f1
-                init = (init, f1 / dfdx, f1)
-            elif limits is None:
-                raise ValueError('provide either init tuple (x0, dx) or parameter limits')
         if xtol is None:
             xtol = default_tol.get(param, 1e-6)
-        if init is not None:
+        if limits is None:
+            if init is None:
+                init = self[param]
+            if _is_sequence(init):
+                init = tuple(init)  # user-provided (x0, dx) or (x0, dx, f0)
+            else:
+                x0 = init
+                dx0 = default_step.get(param, None)
+                if dx0 is None:
+                    dx0 = 0.05 * abs(float(np.asarray(x0))) or 0.05
+                # secant slope -> Newton-scaled first bracket step
+                f0 = f(x0)
+                df = f(x0 + dx0) - f0
+                step = jnp.where(df == 0, dx0, f0 * dx0 / df)
+                init = (x0, step, f0)
             limits = bracket(f, init=init, maxiter=maxiter)
         value = bisect(f, limits=tuple(limits), xtol=xtol, maxiter=maxiter)
         return self.clone(base='input', **{param: value})

@@ -32,13 +32,48 @@ def get_operation(operation):
     return operation
 
 
+_ALLOWED_AST_NODES = (
+    'Expression', 'BinOp', 'UnaryOp', 'BoolOp', 'Compare', 'IfExp', 'Call',
+    'Name', 'Attribute', 'Constant', 'Subscript', 'Slice', 'Tuple', 'List',
+    'keyword', 'Load',
+    # operators
+    'Add', 'Sub', 'Mult', 'Div', 'FloorDiv', 'Mod', 'Pow', 'MatMult',
+    'UAdd', 'USub', 'Not', 'And', 'Or', 'Eq', 'NotEq', 'Lt', 'LtE', 'Gt', 'GtE',
+)
+
+
 def evaluate(expression, locals=None):
-    """Evaluate an operation expression with jnp and the given locals only
-    (no builtins): the restricted equivalent of the reference's
-    utils.evaluate."""
+    """Evaluate an operation expression with jnp and the given locals only.
+
+    Restricted equivalent of the reference's utils.evaluate: no builtins, and
+    the expression is AST-checked first — only arithmetic/call/index nodes
+    are allowed and no identifier or attribute may start with an underscore,
+    which blocks dunder-chain escapes like ``().__class__...``.
+
+    NOTE on trust model: this guards the *expression strings*; emulator
+    files as a whole (h5/npy with ``allow_pickle``) are trusted input, the
+    same threat model as pickle — do not load emulator files from untrusted
+    sources.
+    """
+    import ast
+    tree = ast.parse(expression, mode='eval')
+    for node in ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _ALLOWED_AST_NODES:
+            raise ValueError(f'Disallowed construct {kind!r} in operation expression {expression!r}')
+        if isinstance(node, ast.Name) and node.id.startswith('_'):
+            raise ValueError(f'Disallowed identifier {node.id!r} in operation expression {expression!r}')
+        if isinstance(node, ast.Attribute) and node.attr.startswith('_'):
+            raise ValueError(f'Disallowed attribute {node.attr!r} in operation expression {expression!r}')
     env = {'jnp': jnp, 'np': jnp}
     env.update(locals or {})
-    return eval(expression, {'__builtins__': {}}, env)
+    # jax.numpy materializes some attributes lazily; the import machinery
+    # resolves '__import__' from this frame's builtins. Expressions cannot
+    # reach it (underscore names are rejected above), so exposing it keeps
+    # the sandbox while letting jnp attribute access work.
+    import builtins
+    return eval(compile(tree, '<operation>', 'eval'),
+                {'__builtins__': {'__import__': builtins.__import__}}, env)
 
 
 @register_operation

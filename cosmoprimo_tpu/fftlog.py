@@ -199,6 +199,7 @@ class FFTlog(object):
     def __init__(self, x, kernel, q=0, minfolds=2, lowring=True, xy=1, check_level=0, engine='auto', **engine_kwargs):
         self.inparallel = isinstance(kernel, (tuple, list))
         self.engine = str(engine)
+        self.engine_kwargs = dict(engine_kwargs)
         kernels = list(kernel) if self.inparallel else [kernel]
         nk = len(kernels)
         if np.ndim(q) == 0:
@@ -280,8 +281,11 @@ class FFTlog(object):
         from .ops.pallas_fft import fftlog_pallas
         u = np.asarray(u) if not _is_traced(u) else u
         fun = (padded_fun * prefactor).reshape(-1, self.padded_size)
+        # block > 8 crashes this toolchain's tpu_compile_helper: default to
+        # the largest safe tile; override via FFTlog(..., engine='pallas', block=...)
+        block = int(getattr(self, 'engine_kwargs', {}).get('block', 8))
         out = fftlog_pallas(fun, jnp.real(jnp.asarray(u[0])), jnp.imag(jnp.asarray(u[0])),
-                            jnp.asarray(postfactor[0]))
+                            jnp.asarray(postfactor[0]), block=block)
         return out.reshape(padded_fun.shape[:-1] + (self.padded_size,))
 
     def __call__(self, fun, extrap=0, keep_padding=False):
@@ -333,8 +337,9 @@ class FFTlog(object):
         children = (self.x, self.y, self.delta, self.lnxy, self.padded_x, self.padded_y,
                     self.padded_u, self.padded_prefactor, self.padded_postfactor)
         aux = {name: getattr(self, name) for name in
-               ['inparallel', 'engine', 'padded_size', 'padded_size_in_left', 'padded_size_in_right',
-                'padded_size_out_left', 'padded_size_out_right']}
+               ['inparallel', 'engine', 'engine_kwargs', 'padded_size', 'padded_size_in_left',
+                'padded_size_in_right', 'padded_size_out_left', 'padded_size_out_right']
+               if hasattr(self, name)}
         return children, aux
 
     @classmethod

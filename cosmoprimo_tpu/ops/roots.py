@@ -71,7 +71,11 @@ def bisect(f, limits, flimits=None, xtol=1e-6, maxiter=100, method='ridders'):
             xfmid = jnp.array([mid, f(mid)])
             s = jnp.sqrt(xfmid[1] * xfmid[1] - xflow[1] * xfhigh[1])
             sgn = jnp.where(xflow[1] >= 0.0, 1.0, -1.0)
-            new = xfmid[0] + (xfmid[0] - xflow[0]) * sgn * xfmid[1] / s
+            # s == 0 means an iterate hit the root exactly (f(mid) == 0 and
+            # an endpoint f == 0): the Ridders step is 0/0 — keep mid instead
+            # of poisoning the bracket with NaN
+            step = jnp.where(s > 0, (xfmid[0] - xflow[0]) * sgn * xfmid[1] / jnp.where(s > 0, s, 1.0), 0.0)
+            new = xfmid[0] + step
             xfnew = jnp.array([new, f(new)])
             xf = jnp.where(xfmid[1] * xfnew[1] <= 0, jnp.array([xfmid, xfnew]),
                            jnp.where(xflow[1] * xfnew[1] < 0, jnp.array([xflow, xfnew]),

@@ -50,10 +50,32 @@ class FakeComm(object):
     def allreduce_sum(self, value):
         return value
 
+    def send(self, value, dest=0, tag=0):
+        """Point-to-point send (reference tools/mpi.py:438-479). Single rank:
+        queue locally so a matching recv() returns it."""
+        assert dest == 0
+        self._queue = getattr(self, '_queue', {})
+        self._queue.setdefault(tag, []).append(value)
+
+    def recv(self, source=0, tag=0):
+        assert source == 0
+        return self._queue[tag].pop(0)
+
 
 class JaxDistributedComm(object):
     """Multi-host communication built on jax.distributed +
-    multihost_utils (DCN collectives). Each host is one 'rank'."""
+    multihost_utils (DCN collectives). Each host is one 'rank'.
+
+    ``multihost_utils.broadcast_one_to_all`` / ``process_allgather`` require
+    every host to contribute arrays of identical shape and dtype, which a
+    generic comm cannot guarantee (non-root ranks pass None to bcast,
+    gathered objects differ per rank). All object-valued collectives
+    therefore ride a two-step bytes protocol: (1) broadcast/allgather the
+    pickled payload *length* (a fixed-shape scalar every rank can produce),
+    (2) broadcast/allgather the max-length-padded uint8 payload, then
+    unpickle. Point-to-point send/recv (reference tools/mpi.py:438-511) maps
+    onto the same broadcast — DCN has no p2p primitive — filtered by rank.
+    """
 
     def __init__(self):
         self.rank = jax.process_index()
@@ -65,23 +87,54 @@ class JaxDistributedComm(object):
     def Get_size(self):
         return self.size
 
-    def bcast(self, value, root=0):
+    def _bcast_array(self, value, root=0):
         from jax.experimental import multihost_utils
         return multihost_utils.broadcast_one_to_all(value, is_source=self.rank == root)
 
+    def bcast(self, value, root=0):
+        import pickle
+        if self.rank == root:
+            buf = np.frombuffer(pickle.dumps(value), dtype=np.uint8)
+            nbytes = np.asarray(len(buf), dtype=np.int64)
+        else:
+            buf = None
+            nbytes = np.asarray(0, dtype=np.int64)
+        nbytes = int(self._bcast_array(nbytes, root=root))
+        payload = np.zeros(nbytes, dtype=np.uint8)
+        if self.rank == root:
+            payload[:] = buf
+        out = np.asarray(self._bcast_array(payload, root=root), dtype=np.uint8)
+        return pickle.loads(out.tobytes())
+
     def allgather(self, value):
+        import pickle
         from jax.experimental import multihost_utils
-        out = multihost_utils.process_allgather(np.asarray(value))
-        return list(out)
+        buf = np.frombuffer(pickle.dumps(value), dtype=np.uint8)
+        sizes = multihost_utils.process_allgather(np.asarray(len(buf), dtype=np.int64))
+        nmax = int(np.max(sizes))
+        payload = np.zeros(nmax, dtype=np.uint8)
+        payload[:len(buf)] = buf
+        out = np.asarray(multihost_utils.process_allgather(payload), dtype=np.uint8)
+        return [pickle.loads(out[i, :int(sizes[i])].tobytes()) for i in range(self.size)]
 
     def gather(self, value, root=0):
         gathered = self.allgather(value)
         return gathered if self.rank == root else None
 
     def scatter(self, values, root=0):
-        # every host computes its own slice from the broadcast list
+        # every host extracts its own slice from the broadcast list
         values = self.bcast(values if self.rank == root else None, root=root)
         return values[self.rank]
+
+    def send(self, value, dest=0, tag=0):
+        """Point-to-point over the broadcast collective: all ranks must call
+        sendrecv-style (source calls send, every other rank calls recv with
+        the matching source) — same collective-participation requirement as
+        the underlying DCN primitives."""
+        self.bcast(value, root=self.rank)
+
+    def recv(self, source=0, tag=0):
+        return self.bcast(None, root=source)
 
     def barrier(self):
         from jax.experimental import multihost_utils

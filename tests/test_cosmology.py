@@ -291,6 +291,33 @@ def test_solve():
     assert abs(got - target) < 1e-4
 
 
+def test_solve_non_theta_paths():
+    import pytest
+    c = Cosmology(omega_cdm=0.12, omega_b=0.02237, h=0.6736, sigma8=0.8, n_s=0.9649, engine='eisenstein_hu')
+
+    # callable func, param with a built-in default step (h)
+    target_chi = float(c.get_background().comoving_radial_distance(1.0)) * 1.02
+    sol = c.solve('h', lambda cosmo: cosmo.get_background().comoving_radial_distance(1.0), target=target_chi)
+    assert abs(float(sol.get_background().comoving_radial_distance(1.0)) - target_chi) < 1e-3 * target_chi
+
+    # callable func, param with NO default step (relative secant step path)
+    target_om = 0.30
+    sol = c.solve('omega_cdm', lambda cosmo: cosmo['Omega_m'], target=target_om)
+    assert abs(float(sol['Omega_m']) - target_om) < 1e-5
+
+    # string func that is a generic derived parameter (not theta_MC_100)
+    sol = c.solve('omega_cdm', 'Omega_m', target=target_om)
+    assert abs(float(sol['Omega_m']) - target_om) < 1e-5
+
+    # explicit limits skip bracketing
+    sol = c.solve('omega_cdm', 'Omega_m', target=target_om, limits=(0.10, 0.16))
+    assert abs(float(sol['Omega_m']) - target_om) < 1e-5
+
+    # non-callable, non-string func -> clear error
+    with pytest.raises(Exception, match='callable'):
+        c.solve('h', 12345, target=1.0)
+
+
 def test_tabulated(tmp_path, cosmo):
     ba = cosmo.get_background(engine='eisenstein_hu')
     z = np.linspace(0.0, 10.0, 501)

@@ -22,6 +22,28 @@ def toy_calculator(a=1.0, b=0.0):
 PARAMS = {'a': (0.8, 1.2), 'b': (-0.2, 0.2)}
 
 
+def test_operation_evaluate_restricted():
+    from cosmoprimo_tpu.emulators.operations import evaluate, Operation
+    np.testing.assert_allclose(float(evaluate('jnp.log10(v) + s', {'v': 100.0, 's': 1.0})), 3.0)
+    np.testing.assert_allclose(np.asarray(evaluate('v @ kernel + bias',
+                                                   {'v': np.ones((1, 2)), 'kernel': np.ones((2, 2)),
+                                                    'bias': np.zeros(2)})), [[2.0, 2.0]])
+    # dunder-chain escapes and statements are rejected at the AST gate
+    for evil in ["().__class__.__mro__[1].__subclasses__()",
+                 "v.__class__",
+                 "_secret",
+                 "[x for x in (1,)]",
+                 "lambda: 1",
+                 "jnp.__loader__"]:
+        with pytest.raises((ValueError, SyntaxError)):
+            evaluate(evil, {'v': 1.0})
+    # round-trip through Operation state keeps working
+    op = Operation('jnp.exp(v)', inverse='jnp.log(v)')
+    state = op.__getstate__()
+    op2 = Operation.from_state(state)
+    np.testing.assert_allclose(float(op2.inverse(op2(1.5))), 1.5, rtol=1e-12)
+
+
 def test_samples_io(tmp_path):
     sampler = QMCSampler(toy_calculator, PARAMS, engine='rqrs')
     samples = sampler.run(niterations=16)
@@ -78,6 +100,7 @@ def test_taylor_engine(tmp_path):
     assert abs(g - truth_g) < 1e-3
 
 
+@pytest.mark.slow
 def test_mlp_engine():
     emulator = Emulator(calculator=toy_calculator, params=PARAMS,
                         engine=MLPEmulatorEngine(nhidden=(16, 16)))
@@ -89,6 +112,7 @@ def test_mlp_engine():
     np.testing.assert_allclose(np.asarray(pred['y']), truth['y'], atol=0.1)
 
 
+@pytest.mark.slow
 def test_emulated_engine(tmp_path):
     cosmo = Cosmology(omega_cdm=0.12, omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649,
                       engine='eisenstein_hu')
@@ -223,6 +247,7 @@ def _make_synthetic_capse(tmp_path, n_in=6, n_out=48):
     return fn
 
 
+@pytest.mark.slow
 def test_capse_style_harmonic_serving(tmp_path):
     """BASELINE config #5: lensed_cl()['tt'] served on-device through the
     harmonic section with end-to-end jacfwd gradients."""
@@ -348,6 +373,7 @@ def test_fourier_norm_operation_roundtrip():
         np.testing.assert_allclose(u[name][sel], v[name][sel], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_boltzmann_cli(tmp_path):
     # end-to-end sample -> fit through the CLI entry (tiny shapes)
     from cosmoprimo_tpu.emulators.train.train_boltzmann import main

@@ -80,6 +80,35 @@ def test_fake_comm_roundtrip():
     assert isinstance(get_comm(), FakeComm)
 
 
+def test_fake_comm_send_recv():
+    comm = FakeComm()
+    comm.send({'a': 1}, dest=0, tag=3)
+    comm.send('second', dest=0, tag=3)
+    assert comm.recv(source=0, tag=3) == {'a': 1}
+    assert comm.recv(source=0, tag=3) == 'second'
+
+
+def test_jax_distributed_comm_object_collectives():
+    # single-process instantiation still exercises the full bytes protocol
+    # (pickle -> length broadcast -> padded payload broadcast -> unpickle),
+    # which is what broke on real multi-host in round 1: non-root ranks used
+    # to pass None straight into broadcast_one_to_all (shape mismatch).
+    from cosmoprimo_tpu.parallel.distributed import JaxDistributedComm
+    comm = JaxDistributedComm()
+    assert comm.Get_size() == 1
+    # arbitrary (non-array, non-uniform-shape) payloads
+    obj = {'params': np.arange(5.0), 'name': 'desi', 'none': None}
+    out = comm.bcast(obj, root=0)
+    np.testing.assert_array_equal(out['params'], obj['params'])
+    assert out['name'] == 'desi' and out['none'] is None
+    assert comm.scatter([obj], root=0)['name'] == 'desi'
+    gathered = comm.allgather(('tuple', 3))
+    assert gathered == [('tuple', 3)]
+    assert comm.reduce_sum(2.5, root=0) == 2.5
+    # p2p maps onto the broadcast; rank 0 sending to itself round-trips
+    assert comm.recv(source=0) is None  # no pending value -> broadcast of None
+
+
 def test_seed_helpers_deterministic():
     s1 = bcast_seed(seed=11, size=16)
     s2 = bcast_seed(seed=11, size=16)

@@ -26,7 +26,8 @@ try:
 except Exception:
     HAS_REF = False
 
-pytestmark = pytest.mark.skipif(not HAS_REF, reason='reference cosmoprimo not importable')
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not HAS_REF, reason='reference cosmoprimo not importable')]
 
 PARAMS = dict(omega_cdm=0.12, omega_b=0.02237, h=0.6736, sigma8=0.8, n_s=0.9649)
 
