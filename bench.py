@@ -6,7 +6,10 @@ Timing note: on the axon TPU relay, ``block_until_ready`` does not
 synchronize — every timed call therefore reduces its outputs to a scalar
 ON DEVICE and forces an 8-byte readback, which bounds the full compute.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"} per metric;
+the FIRST line is the headline (linear flagship pipeline), followed by the
+non-linear (halofit) pipeline and the fused Pallas FFTLog kernel vs the XLA
+f64 pair-FFT path.
 """
 
 import json
@@ -118,7 +121,96 @@ def main():
         'max_rel_err_vs_cpu_f64': max_err,
         'backend': jax.default_backend(),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    bench_halofit(baseline_rate, nrep=nrep)
+    bench_pallas_fftlog()
+
+
+def bench_halofit(baseline_rate, nrep=3):
+    """Non-linear (native halofit) pk->xi pipeline rate — the same flagship
+    workload with the halo-fit transform inserted per cosmology."""
+    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline
+
+    n = int(os.environ.get('BENCH_N_NL', '4096'))
+    fn, k, s = make_pk_to_xi_pipeline(nk=1024, non_linear='halofit')
+    batched = jax.vmap(fn)
+
+    @jax.jit
+    def checksum(*args):
+        xi, chi, s8 = batched(*args)
+        return jnp.sum(xi) + jnp.sum(chi) + jnp.sum(s8)
+
+    args_list = [make_args(n, seed=10 + i) for i in range(nrep + 1)]
+    float(checksum(*args_list[0]))  # compile + warm
+    best = np.inf
+    for i in range(1, nrep + 1):
+        t0 = time.time()
+        float(checksum(*args_list[i]))
+        best = min(best, time.time() - t0)
+    rate = n / best
+    print(json.dumps({
+        'metric': f'non-linear (halofit) pk->xi pipeline, f64, batch {n}',
+        'value': round(rate, 1),
+        'unit': 'cosmologies/s',
+        'vs_baseline': round(rate / baseline_rate, 2),
+        'baseline': 'reference linear pipeline rate (the reference has no native halofit)',
+        'backend': jax.default_backend(),
+    }), flush=True)
+
+
+def bench_pallas_fftlog(nrep=5):
+    """Standalone fused Pallas FFTLog kernel (double-single f32) vs the XLA
+    f64 pair-FFT engine on the identical transform: TophatVariance over a
+    (batch, 4096) padded grid. Skipped (with a JSON note) off-TPU or if the
+    kernel fails to compile on this toolchain."""
+    from cosmoprimo_tpu.fftlog import TophatVariance
+
+    nbatch = int(os.environ.get('BENCH_N_PALLAS', '4096'))
+    k = np.geomspace(1e-5, 1e2, 1024)
+    pk = (k / 0.05) ** 0.96 / (1 + (k / 0.1) ** 3.04) * 2e9
+    pk_batch = jnp.asarray(pk)[None, :] * jnp.linspace(0.8, 1.2, nbatch)[:, None]
+
+    def timed_rate(engine):
+        tp = TophatVariance(k, engine=engine)
+
+        @jax.jit
+        def checksum(f):
+            r, var = tp(f)
+            return jnp.sum(var)
+
+        float(checksum(pk_batch))  # compile + warm
+        best = np.inf
+        for _ in range(nrep):
+            t0 = time.time()
+            float(checksum(pk_batch))
+            best = min(best, time.time() - t0)
+        return nbatch / best
+
+    rate_pair = timed_rate('pair')
+    try:
+        rate_pallas = timed_rate('pallas')
+    except Exception as exc:
+        print(json.dumps({
+            'metric': f'fused Pallas FFTLog kernel, df32, batch {nbatch} x 4096',
+            'value': 0.0,
+            'unit': 'transforms/s',
+            'vs_baseline': 0.0,
+            'baseline': 'XLA f64 pair-FFT FFTLog (same transform)',
+            'baseline_rate': round(rate_pair, 1),
+            'skipped': f'{type(exc).__name__}: {exc}'[:200],
+            'backend': jax.default_backend(),
+        }), flush=True)
+        return
+    print(json.dumps({
+        'metric': f'fused Pallas FFTLog kernel, df32, batch {nbatch} x 4096',
+        'value': round(rate_pallas, 1),
+        'unit': 'transforms/s',
+        'vs_baseline': round(rate_pallas / rate_pair, 2),
+        'baseline': 'XLA f64 pair-FFT FFTLog (same transform)',
+        'baseline_rate': round(rate_pair, 1),
+        'backend': jax.default_backend(),
+    }), flush=True)
 
 
 if __name__ == '__main__':

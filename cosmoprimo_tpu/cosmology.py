@@ -573,21 +573,21 @@ _ENGINE_MODULES = {
     'capse': 'emulators.emulated',
     'cosmopower_bolliet2023': 'emulators.emulated',
     'emulated': 'emulators.emulated',
-    'class': 'models.boltzmann',
-    'classy': 'models.boltzmann',
-    'camb': 'models.boltzmann',
-    'axiclass': 'models.boltzmann',
-    'axiclassy': 'models.boltzmann',
-    'mochiclass': 'models.boltzmann',
-    'mochiclassy': 'models.boltzmann',
-    'negnuclass': 'models.boltzmann',
-    'negnuclassy': 'models.boltzmann',
-    'dsclass': 'models.boltzmann',
-    'dsclassy': 'models.boltzmann',
-    'isitgr': 'models.boltzmann',
-    'mgcamb': 'models.boltzmann',
-    'isitide': 'models.boltzmann',
-    'heftcamb': 'models.boltzmann',
+    'class': 'models.classy',
+    'classy': 'models.classy',
+    'camb': 'models.camb',
+    'axiclass': 'models.classy',
+    'axiclassy': 'models.classy',
+    'mochiclass': 'models.classy',
+    'mochiclassy': 'models.classy',
+    'negnuclass': 'models.classy',
+    'negnuclassy': 'models.classy',
+    'dsclass': 'models.classy',
+    'dsclassy': 'models.classy',
+    'isitgr': 'models.camb',
+    'mgcamb': 'models.camb',
+    'isitide': 'models.camb',
+    'heftcamb': 'models.camb',
     'astropy': 'models.astropy',
 }
 
@@ -641,6 +641,10 @@ class BaseEngine(ParamsAccessor):
             Section = getattr(module, name, None)
             if Section is not None:
                 sections[name.lower()] = Section
+        # engine-specific overrides (e.g. variant engines swapping one
+        # section while sharing the module's others)
+        for name, Section in getattr(cls, '_section_overrides', {}).items():
+            sections[name.lower()] = Section
         cls._Section_classes_cache = sections
         return sections
 
@@ -654,6 +658,10 @@ class BaseEngine(ParamsAccessor):
         defaults.update(self._default_calculation_parameters)
         for name, value in defaults.items():
             params.setdefault(name, value)
+        # engine-specific parameters passed through extra_params override the
+        # registered defaults (variant physics / precision knobs)
+        for name in [name for name in extra_params if name in defaults]:
+            params[name] = extra_params.pop(name)
         self._params = params
         self._derived = {}
         self._extra_params = dict(extra_params)

@@ -78,84 +78,49 @@ class EmulatedEngine(BaseEngine):
         self._A_s = self._get_A_s_fid()
         self._sigma8 = self._get_sigma8_fid()
         self._needs_rescale = None
+        self._predictor = _EmulatorPredictor(emulator, self._resolve_inputs(emulator), dict(self._params))
 
-        params, requires = {}, []
-        for engine in emulator.engines.values():
-            for param in engine.params:
-                if param == 'z':
-                    requires.append(engine)
-                    continue
-                if param in params:
-                    continue
+    def _resolve_inputs(self, emulator):
+        """Map this cosmology's parameters onto the emulator's expected input
+        names, resolving the A_s <-> sigma8 direction mismatch (setting
+        ``_needs_rescale``) and theta-derived inputs. Returns the x-space
+        vector after the emulator's own xoperations."""
+        wanted = {name for eng in emulator.engines.values() for name in eng.params} - {'z'}
+        values = {}
+        for name in wanted:
+            if name in ('theta_MC_100', 'theta_cosmomc'):
+                values[name] = self._theta_input(name)
+            else:
                 try:
-                    if param in ('theta_MC_100', 'theta_cosmomc'):
-                        # derived from the background; use the ODE default
-                        # background (reference hybrid.py:18-21 serves exactly
-                        # that) instead of self.get_background(), which would
-                        # recurse into this engine mid-initialization
-                        from ..cosmology import DefaultBackground, _compute_rs_cosmomc
-                        ba = DefaultBackground(self)
-                        rs, zstar = _compute_rs_cosmomc(self['omega_b'], self['omega_m'], ba.hubble_function)
-                        theta = rs * ba.h / ba.comoving_angular_distance(zstar)
-                        params[param] = theta * (100.0 if param == 'theta_MC_100' else 1.0)
-                        continue
-                    params[param] = self[param]
+                    values[name] = self[name]
                 except CosmologyError:
-                    if param == 'sigma8':  # cosmology gives A_s, emulator wants sigma8
-                        params[param] = self._sigma8
+                    # direction mismatch between the cosmology's amplitude
+                    # parameter and the emulator's training input
+                    if name == 'sigma8':
+                        values[name] = self._sigma8
                         self._needs_rescale = 'A_s'
-                    elif 'A_s' in find_conflicts(param):  # cosmology gives sigma8, emulator wants A_s
-                        params[param] = self._A_s if param == 'A_s' else jnp.log(1e10 * self._A_s)
+                    elif 'A_s' in find_conflicts(name):
+                        values[name] = self._A_s if name == 'A_s' else jnp.log(1e10 * self._A_s)
                         self._needs_rescale = 'sigma8'
-        if 'm_ncdm' in params:
-            params['m_ncdm'] = self['m_ncdm_tot']
-
-        params = {**emulator.defaults, **params}
+        if 'm_ncdm' in values:
+            values['m_ncdm'] = self['m_ncdm_tot']
+        values = {**emulator.defaults, **values}
         for operation in emulator.xoperations:
-            params = operation(params)
+            values = operation(values)
+        return values
 
-        def predict(section):
-            fixed = {name: value for name, value in emulator.fixed.items() if name.startswith(section + '.')}
-            base_predict = {}
-            requires_predict = []
-            for name, engine in emulator.engines.items():
-                if name.startswith(section + '.'):
-                    if engine in requires:
-                        requires_predict.append(name)
-                    else:
-                        base_predict[name] = engine.predict(params)
+    def _theta_input(self, name):
+        """theta_MC for the emulator input, from the ODE default background
+        (self.get_background() would recurse into this engine mid-init;
+        reference hybrid.py:18-21 serves exactly the default)."""
+        from ..cosmology import DefaultBackground, _compute_rs_cosmomc
+        ba = DefaultBackground(self)
+        rs, zstar = _compute_rs_cosmomc(self['omega_b'], self['omega_m'], ba.hubble_function)
+        theta = rs * ba.h / ba.comoving_angular_distance(zstar)
+        return theta * (100.0 if name == 'theta_MC_100' else 1.0)
 
-            def finalize(predict):
-                predict = {**fixed, **predict}
-                X = dict(self._params)
-                for operation in emulator.yoperations[::-1]:
-                    try:
-                        predict = operation.inverse(predict, X=X)
-                    except KeyError:
-                        pass
-                return {name[len(section) + 1:]: value for name, value in predict.items()}
-
-            if requires_predict:
-                def predict_z(**req):
-                    req = {**params, **req}
-                    for name in requires_predict:
-                        base_predict[name] = emulator.engines[name].predict(req)
-                    return finalize(base_predict)
-                return predict_z
-
-            return finalize(base_predict)
-
-        self._predict = predict
-
-    @classmethod
-    def read(cls, filename):
-        """Return an engine subclass bound to ``filename``."""
-
-        class _EmulatedEngine(cls):
-            path = filename
-            __module__ = cls.__module__
-        _EmulatedEngine.name = cls.name
-        return _EmulatedEngine
+    def _predict(self, section):
+        return self._predictor(section)
 
     def _rescale_sigma8(self):
         if self._rsigma8 is not None:
@@ -170,6 +135,66 @@ class EmulatedEngine(BaseEngine):
             self._rsigma8 = (self._params['A_s'] / self.get_section('primordial').A_s) ** 0.5
             self._sections.pop('fourier', None)
         return self._rsigma8
+
+    @classmethod
+    def read(cls, filename):
+        """Return an engine subclass bound to ``filename``."""
+
+        class _EmulatedEngine(cls):
+            path = filename
+            __module__ = cls.__module__
+        _EmulatedEngine.name = cls.name
+        return _EmulatedEngine
+
+
+class _EmulatorPredictor(object):
+    """Serves per-section emulator states.
+
+    Built once per engine: scans the emulator's quantity names into a
+    per-section index (fixed values / parameter-only nets / z-dependent
+    nets), so each section lookup is a dict hit plus the net evaluations.
+    Sections whose nets take ``z`` get a callable that completes the
+    prediction at the requested redshifts.
+    """
+
+    def __init__(self, emulator, x, cosmo_params):
+        self.emulator = emulator
+        self.x = x
+        self.cosmo_params = cosmo_params
+        self.index = {}
+        for name, eng in emulator.engines.items():
+            section = name.split('.', 1)[0]
+            entry = self.index.setdefault(section, {'fixed': {}, 'static': [], 'with_z': []})
+            entry['with_z' if 'z' in eng.params else 'static'].append(name)
+        for name, value in emulator.fixed.items():
+            section = name.split('.', 1)[0]
+            self.index.setdefault(section, {'fixed': {}, 'static': [], 'with_z': []})['fixed'][name] = value
+
+    def _finalize(self, entry, section, raw):
+        raw = {**entry['fixed'], **raw}
+        X = dict(self.cosmo_params)
+        for operation in self.emulator.yoperations[::-1]:
+            try:
+                raw = operation.inverse(raw, X=X)
+            except KeyError:
+                pass
+        strip = len(section) + 1
+        return {name[strip:]: value for name, value in raw.items()}
+
+    def __call__(self, section):
+        entry = self.index.get(section, {'fixed': {}, 'static': [], 'with_z': []})
+        raw = {name: self.emulator.engines[name].predict(self.x) for name in entry['static']}
+        if not entry['with_z']:
+            return self._finalize(entry, section, raw)
+
+        def complete(**req):
+            inputs = {**self.x, **req}
+            full = dict(raw)
+            for name in entry['with_z']:
+                full[name] = self.emulator.engines[name].predict(inputs)
+            return self._finalize(entry, section, full)
+
+        return complete
 
 
 @register_section

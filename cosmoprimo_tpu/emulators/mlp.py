@@ -21,16 +21,22 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 class MLP(nn.Module):
-    """Dense network with the reference's activation set."""
+    """Dense network with the reference's activation set; optional batch
+    normalization before each hidden-to-hidden Dense (reference
+    tools/mlp.py:119-121, 174-176)."""
 
     features: tuple        # hidden sizes + (output size,)
     activation: tuple      # one name per hidden layer
+    batch_norm: bool = False
     dtype: str = 'float64'
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train=False):
         nlayers = len(self.features)
         for ilayer, feat in enumerate(self.features):
+            if self.batch_norm and ilayer > 0:
+                x = nn.BatchNorm(use_running_average=not train, name=f'batch_{ilayer}',
+                                 dtype=self.dtype, param_dtype=self.dtype, epsilon=1e-5)(x)
             x = nn.Dense(feat, name=f'layer_{ilayer}', dtype=self.dtype, param_dtype=self.dtype)(x)
             if ilayer < nlayers - 1:
                 name = self.activation[ilayer]
@@ -75,14 +81,17 @@ def params_shardings(params, mesh):
 
 
 def init_train_state(model, rng, sample_x, learning_rate=1e-3, optimizer='adam', mesh=None):
-    """Initialize (params, opt_state), placed according to the mesh."""
-    params = model.init(rng, jnp.ones_like(sample_x))['params']
+    """Initialize (params, batch_stats, opt_state), placed according to the
+    mesh. ``batch_stats`` is an empty dict when the model has no BatchNorm."""
+    variables = model.init(rng, jnp.ones_like(sample_x))
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
     tx = getattr(optax, optimizer)(learning_rate)
     opt_state = tx.init(params)
     if mesh is not None:
         shardings = params_shardings(params, mesh)
         params = jax.tree_util.tree_map(jax.device_put, params, shardings)
-    return params, opt_state, tx
+    return params, batch_stats, opt_state, tx
 
 
 def make_train_step(model, tx, mesh=None, loss='mse'):
@@ -98,20 +107,22 @@ def make_train_step(model, tx, mesh=None, loss='mse'):
     else:
         compute_loss = loss
 
-    def step(params, opt_state, x, y):
+    def step(params, batch_stats, opt_state, x, y):
         if mesh is not None:
             x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P('dp', None)))
             y = jax.lax.with_sharding_constraint(y, NamedSharding(mesh, P('dp', None)))
 
         def loss_fn(p):
-            return compute_loss(y, model.apply({'params': p}, x))
+            out, mutated = model.apply({'params': p, 'batch_stats': batch_stats}, x,
+                                       train=True, mutable=['batch_stats'])
+            return compute_loss(y, out), mutated.get('batch_stats', batch_stats)
 
-        value, grads = jax.value_and_grad(loss_fn)(params)
+        (value, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, value
+        return params, batch_stats, opt_state, value
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 2))
 
 
 # ----------------------------------------------------------------------------
@@ -146,6 +157,7 @@ class MLPEmulatorEngine(BaseEmulatorEngine):
         self.nhidden = tuple(nhidden)
         self.loss = loss
         self.activation = _make_tuple(activation, length=len(self.nhidden))
+        self.batch_norm = False
         from .base import make_list
         self.model_yoperations = [get_operation(op) for op in make_list(model_yoperation)]
         for operations in [self.xoperations, self.yoperations]:
@@ -159,7 +171,9 @@ class MLPEmulatorEngine(BaseEmulatorEngine):
 
     def _fit_no_operation(self, X, Y, attrs, validation_frac=0.1, optimizer='adam',
                           batch_frac=(0.1, 0.3, 1.0), epochs=1000, learning_rate=(1e-2, 1e-3, 1e-5),
-                          patience=100, seed=42, mesh=None, learning_rate_scheduling=True):
+                          patience=100, seed=42, mesh=None, learning_rate_scheduling=True,
+                          batch_norm=False):
+        self.batch_norm = bool(batch_norm)
         list_batch_frac = _make_tuple(batch_frac)
         list_epochs = _make_tuple(epochs, length=len(list_batch_frac))
         list_learning_rate = _make_tuple(learning_rate, length=len(list_batch_frac))
@@ -175,8 +189,9 @@ class MLPEmulatorEngine(BaseEmulatorEngine):
         if nvalidation >= nsamples:
             raise ValueError('validation fraction leaves no training samples')
 
-        model = MLP(features=self.nhidden + (Y.shape[-1],), activation=self.activation)
-        best_params = None
+        model = MLP(features=self.nhidden + (Y.shape[-1],), activation=self.activation,
+                    batch_norm=self.batch_norm)
+        best_params = best_stats = None
 
         for bfrac, nepochs, lr, pat in zip(list_batch_frac, list_epochs, list_learning_rate, list_patience):
             idx_val = rng.choice(nsamples, size=nvalidation, replace=False)
@@ -190,39 +205,48 @@ class MLPEmulatorEngine(BaseEmulatorEngine):
             if learning_rate_scheduling:
                 # cosine decay over the stage (reference tools/mlp.py:7-25)
                 lr = optax.cosine_decay_schedule(init_value=lr, decay_steps=max(nepochs * nbatch, 1))
-            params, opt_state, tx = init_train_state(model, jax.random.PRNGKey(seed), X[:1],
-                                                     learning_rate=lr, optimizer=optimizer, mesh=mesh)
+            params, batch_stats, opt_state, tx = init_train_state(model, jax.random.PRNGKey(seed), X[:1],
+                                                                  learning_rate=lr, optimizer=optimizer, mesh=mesh)
             if best_params is not None:
-                params = best_params
+                params, batch_stats = best_params, best_stats
                 opt_state = tx.init(params)
             step = make_train_step(model, tx, mesh=mesh, loss='mse' if self.loss == 'mse' else self.loss)
 
             @jax.jit
-            def val_loss(params):
-                pred = model.apply({'params': params}, X_val)
+            def val_loss(params, batch_stats):
+                pred = model.apply({'params': params, 'batch_stats': batch_stats}, X_val)
                 return jnp.mean((Y_val - pred) ** 2)
 
             best_loss, stall = np.inf, 0
             for epoch in range(nepochs):
                 for ib in range(nbatch):
                     sl = slice(ib * batch_size, (ib + 1) * batch_size)
-                    params, opt_state, _ = step(params, opt_state, X_train[sl], Y_train[sl])
-                loss = float(val_loss(params))
+                    params, batch_stats, opt_state, _ = step(params, batch_stats, opt_state, X_train[sl], Y_train[sl])
+                loss = float(val_loss(params, batch_stats))
                 if loss < best_loss:
-                    best_loss, best_params, stall = loss, jax.tree_util.tree_map(jnp.array, params), 0
+                    best_loss, stall = loss, 0
+                    best_params = jax.tree_util.tree_map(jnp.array, params)
+                    best_stats = jax.tree_util.tree_map(jnp.array, batch_stats)
                 else:
                     stall += 1
                 if stall >= pat:
                     break
 
-        self.model_operations = self._export_operations(best_params)
+        self.model_operations = self._export_operations(best_params, best_stats)
 
-    def _export_operations(self, params):
+    def _export_operations(self, params, batch_stats=None):
         """Flatten the trained network into the serialized Operation chain
-        (reference schema: tools/mlp.py:192-216)."""
+        (reference schema: tools/mlp.py:192-216); batch-norm layers fold
+        into an affine 'scale * (v - mean) + bias' operation."""
         operations = []
         nlayers = len(self.nhidden) + 1
         for ilayer in range(nlayers):
+            if self.batch_norm and ilayer > 0:
+                pbatch, sbatch = params[f'batch_{ilayer}'], batch_stats[f'batch_{ilayer}']
+                operations.append(Operation('scale * (v - mean) + bias',
+                                            locals={'scale': np.asarray(pbatch['scale'] / jnp.sqrt(sbatch['var'] + 1e-5)),
+                                                    'mean': np.asarray(sbatch['mean']),
+                                                    'bias': np.asarray(pbatch['bias'])}))
             player = params[f'layer_{ilayer}']
             operations.append(Operation('v @ kernel + bias',
                                         locals={name: np.asarray(player[name]) for name in ['kernel', 'bias']}))

@@ -227,6 +227,11 @@ class Fourier(BaseSection):
         self._w0, self._wa = engine['w0_fld'], engine['wa_fld']
         self._fnu = engine['Omega_ncdm_tot'] / engine['Omega_m']
         self._non_linear = str(engine['non_linear'])
+        # closed-over inputs for the HMcode-2020 transform (models/hmcode.py)
+        self._hm_params = dict(omega_m=engine['Omega_m'] * self._h ** 2,
+                               omega_b=engine['Omega_b'] * self._h ** 2,
+                               h=self._h, theta_cmb=engine['T_cmb'] / 2.7,
+                               n_s=engine['n_s'], fnu=self._fnu)
 
     def pk_interpolator(self, of='delta_m', non_linear=False, **kwargs):
         """P(k, z) interpolator for 'delta_m' / 'theta_m' (velocity spectra
@@ -239,12 +244,18 @@ class Fourier(BaseSection):
             # (reference semantics: classy.py/camb.py read cosmo['non_linear'])
             if non_linear is True:
                 non_linear = self._non_linear or 'halofit'
-            if non_linear not in ('halofit', 'takahashi'):
-                raise CosmologyInputError(f'non_linear={non_linear!r} is not supported; '
-                                          "use 'halofit' (Takahashi 2012)")
-            from .halofit import halofit_pk_interpolator
-            lin = self.pk_interpolator(of=of, **kwargs)
-            return halofit_pk_interpolator(lin, self.ba, w0=self._w0, wa=self._wa, fnu=self._fnu)
+            if non_linear in ('halofit', 'takahashi'):
+                from .halofit import halofit_pk_interpolator
+                lin = self.pk_interpolator(of=of, **kwargs)
+                return halofit_pk_interpolator(lin, self.ba, w0=self._w0, wa=self._wa, fnu=self._fnu)
+            if non_linear in ('mead', 'hmcode', 'mead2020', 'hmcode2020'):
+                from .hmcode import hmcode_pk_interpolator
+                # base EH98 does not distinguish the cb field (the nowiggle
+                # variants engine overrides with its scale-dependent growth)
+                lin_m = self.pk_interpolator(of='delta_m', **kwargs)
+                return hmcode_pk_interpolator(lin_m, self.ba, self._hm_params)
+            raise CosmologyInputError(f'non_linear={non_linear!r} is not supported; '
+                                      "use 'halofit' (Takahashi 2012) or 'mead' (HMcode-2020)")
         if isinstance(of, str):
             of = (of,)
         of = list(of)

@@ -1,0 +1,280 @@
+"""TPU-native HMcode-2020 (Mead et al. 2021, arXiv:2009.01858) non-linear
+matter power spectrum — the ``non_linear='mead'/'hmcode'`` capability the
+reference forwards to CLASS/CAMB internals (reference classy.py:44-48,
+camb.py:124-147), here as a batched, differentiable halo-model transform
+over any engine's linear P(k, z).
+
+Physics (paper sections 2-3, fitted parameters from its Table 2):
+
+- sigma^2(R, z) of the cold (cb) field with a tophat window, evaluated for
+  the whole (R, z) grid as one (nR, nk) @ (nk, nz) matmul (MXU);
+- Sheth & Tormen (1999) mass function, integrated over a static ln R grid
+  (the mass variable is eliminated analytically: nu(R) = delta_c/sigma(R)
+  and dnu/dlnR come from the same spline, so no per-mass root finds);
+- NFW halo profile in Fourier space via our own traced Si/Ci
+  (ops/special.sici), Bullock-style concentration from the formation
+  redshift g(z_f) sigma(f M) = delta_c with the Dolag dark-energy
+  correction, and the eta halo-bloating exponent;
+- two-halo term: de-wiggled linear spectrum (EH98 no-wiggle shape, Gaussian
+  smoothing of the ratio in ln k, damped by exp(-k^2 sigma_v^2)) with the
+  fitted large-scale damping f (k/kd)^nd / (1 + (k/kd)^nd);
+- one-halo term damped by (k/k*)^4 / (1 + (k/k*)^4);
+- smoothed transition Delta^2 = (D2h^alpha + D1h^alpha)^(1/alpha).
+
+Deliberate substitutions (documented; no HMcode oracle exists in this
+zero-egress image): delta_c uses Nakamura & Suto (1997) and Delta_v uses
+Bryan & Norman (1998) in place of the Mead (2017) fits — same functional
+role, sub-percent differences in the fitted regime — both carrying the
+HMcode-2020 massive-neutrino multipliers (1 + 0.262 f_nu), (1 + 0.916 f_nu).
+Baryonic feedback (the T_AGN single-parameter response) is out of scope.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..interpolator import PowerSpectrumInterpolator2D
+from ..ops.spline import cubic_eval, natural_cubic_coeffs
+from ..ops.special import sici
+from .halofit import _nonlinear_scale
+
+# Sheth & Tormen (1999) mass function parameters; A normalizes
+# int f(nu) dnu = 1
+_ST_p = 0.3
+_ST_q = 0.707
+_ST_A = 0.21615998645
+
+# HMcode-2020 fitted parameters (Mead et al. 2021, Table 2)
+_KSTAR_A, _KSTAR_P = 0.05618, -1.013    # one-halo damping k* [h/Mpc]
+_F2H_A, _F2H_P = 0.2696, 0.9403         # two-halo damping amplitude
+_KD_A, _KD_P = 0.05699, -1.089          # two-halo damping scale [h/Mpc]
+_ND = 2.853                             # two-halo damping power
+_B_MIN = 5.196                          # minimum Bullock concentration
+_ETA_A, _ETA_P = 0.1281, -0.3644        # halo bloating exponent
+_ALPHA_A, _ALPHA_B = 1.875, 1.603       # transition smoothing alpha
+_FORM_FRAC = 0.01                       # Bullock formation mass fraction
+
+
+def kernel_tophat(x):
+    """Tophat window W(x) = 3 (sin x - x cos x)/x^3, Maclaurin-stabilized."""
+    x2 = x * x
+    taylor = 1.0 - x2 / 10.0 + x2 * x2 / 280.0
+    safe = jnp.where(x > 0.01, x, 1.0)
+    exact = 3.0 * (jnp.sin(safe) - safe * jnp.cos(safe)) / safe ** 3
+    return jnp.where(x > 0.01, exact, taylor)
+
+
+def sigma_tophat2(k, pk_kz, R):
+    """Tophat variance sigma^2(R, z) = int dlnk Delta^2_L(k, z) W^2(kR).
+
+    ``k``: (nk,), ``pk_kz``: (nk, nz), ``R``: (nR,) -> (nR, nz); one matmul.
+    """
+    k = jnp.asarray(k)
+    pk_kz = jnp.asarray(pk_kz)
+    lnk = jnp.log(k)
+    dlnk = jnp.diff(lnk)
+    w = jnp.concatenate([dlnk[:1] / 2, (dlnk[:-1] + dlnk[1:]) / 2, dlnk[-1:] / 2])
+    delta2 = k[:, None] ** 3 * pk_kz / (2 * np.pi ** 2)
+    window = kernel_tophat(k[None, :] * R[:, None]) ** 2 * w[None, :]
+    return window @ delta2
+
+
+def sigma_v2(k, pk_kz):
+    """1D displacement variance sigma_v^2 = (1/3) int dlnk Delta^2(k)/k^2,
+    (nz,)."""
+    k = jnp.asarray(k)
+    lnk = jnp.log(k)
+    dlnk = jnp.diff(lnk)
+    w = jnp.concatenate([dlnk[:1] / 2, (dlnk[:-1] + dlnk[1:]) / 2, dlnk[-1:] / 2])
+    delta2 = k[:, None] ** 3 * jnp.asarray(pk_kz) / (2 * np.pi ** 2)
+    return (w[:, None] * delta2 / k[:, None] ** 2).sum(axis=0) / 3.0
+
+
+def eh_nowiggle_shape(k_h, h, omega_m, omega_b, theta_cmb):
+    """EH98 zero-baryon transfer shape (eqs. 26-31): the smooth reference
+    used to de-wiggle the linear spectrum. Normalization cancels in the
+    ratio smoothing."""
+    k = jnp.asarray(k_h) * h  # 1/Mpc
+    frac_b = omega_b / omega_m
+    s = 44.5 * jnp.log(9.83 / omega_m) / jnp.sqrt(1.0 + 10.0 * omega_b ** 0.75)  # Mpc
+    alpha_gamma = (1.0 - 0.328 * jnp.log(431.0 * omega_m) * frac_b
+                   + 0.38 * jnp.log(22.3 * omega_m) * frac_b ** 2)
+    gamma_eff = omega_m * (alpha_gamma + (1 - alpha_gamma) / (1 + (0.43 * k * s) ** 4))
+    q = k * theta_cmb ** 2 / gamma_eff
+    L0 = jnp.log(2 * np.e + 1.8 * q)
+    C0 = 14.2 + 731.0 / (1 + 62.5 * q)
+    return L0 / (L0 + C0 * q ** 2)
+
+
+def dewiggle(k, pk_kz, h, omega_m, omega_b, theta_cmb, ns, smooth_sigma=0.25):
+    """No-wiggle linear spectrum: Gaussian smoothing (width ``smooth_sigma``
+    in ln k) of the ratio P / P_EHnw, times P_EHnw (HMcode-2020 appendix A).
+    Static smoothing matrix -> one matmul."""
+    k = jnp.asarray(k)
+    lnk = jnp.log(k)
+    pk_eh = eh_nowiggle_shape(k, h, omega_m, omega_b, theta_cmb) ** 2 * k ** ns
+    ratio = jnp.asarray(pk_kz) / pk_eh[:, None]
+    # normalized Gaussian kernel matrix over the (static) lnk grid
+    d = lnk[:, None] - lnk[None, :]
+    G = jnp.exp(-0.5 * (d / smooth_sigma) ** 2)
+    G = G / G.sum(axis=1, keepdims=True)
+    return (G @ ratio) * pk_eh[:, None]
+
+
+def nfw_window(krs, c):
+    """Normalized NFW Fourier profile u(k | c) with y = k r_s (kr_v / c).
+
+    u = [sin y (Si((1+c)y) - Si(y)) - sin(cy)/((1+c)y)
+         + cos y (Ci((1+c)y) - Ci(y))] / [ln(1+c) - c/(1+c)];
+    u -> 1 as k -> 0. All operands broadcast.
+    """
+    y = jnp.maximum(krs, 1e-8)
+    si_y, ci_y = sici(y)
+    si_cy, ci_cy = sici((1.0 + c) * y)
+    norm = jnp.log(1.0 + c) - c / (1.0 + c)
+    u = (jnp.sin(y) * (si_cy - si_y) - jnp.sin(c * y) / ((1.0 + c) * y)
+         + jnp.cos(y) * (ci_cy - ci_y)) / norm
+    return u
+
+
+def delta_c(Omega_mz, fnu=0.0):
+    """Linear collapse threshold (Nakamura & Suto 1997) with the HMcode-2020
+    neutrino multiplier."""
+    return (3.0 / 20.0) * (12.0 * np.pi) ** (2.0 / 3.0) \
+        * (1.0 + 0.0123 * jnp.log10(Omega_mz)) * (1.0 + 0.262 * fnu)
+
+
+def Delta_v(Omega_mz, fnu=0.0):
+    """Virial overdensity w.r.t. the mean matter density (Bryan & Norman
+    1998, flat) with the HMcode-2020 neutrino multiplier."""
+    x = Omega_mz - 1.0
+    return (18 * np.pi ** 2 + 82.0 * x - 39.0 * x ** 2) / Omega_mz * (1.0 + 0.916 * fnu)
+
+
+def _st_f(nu):
+    """Sheth-Tormen multiplicity f(nu), normalized to unit integral."""
+    qnu2 = _ST_q * nu ** 2
+    return _ST_A * (1.0 + qnu2 ** (-_ST_p)) * jnp.sqrt(2.0 * _ST_q / np.pi) * jnp.exp(-qnu2 / 2.0)
+
+
+def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns,
+               growth_a, growth_g, growth_z, dolag_ratio=1.0,
+               nR=64, Rrange=(5e-4, 5e1)):
+    """HMcode-2020 non-linear P(k, z).
+
+    Parameters
+    ----------
+    k : (nk,) wavenumbers in h/Mpc (log-spaced).
+    pk_cb, pk_m : (nk, nz) linear cold / total-matter power in (Mpc/h)^3
+        (equal when f_nu = 0).
+    Omega_mz : (nz,) matter density parameter at the table redshifts.
+    fnu : neutrino mass fraction Omega_nu / Omega_m today.
+    omega_m, omega_b : physical densities Omega h^2 (for the EH no-wiggle
+        de-wiggling shape).
+    h, theta_cmb, ns : Hubble, T_cmb/2.7255, scalar index.
+    growth_a, growth_g : static arrays tabulating the normalized growth
+        factor g(a) (g(1) = 1), increasing in a — used to invert the
+        Bullock formation condition.
+    growth_z : (nz,) growth factor at the table redshifts.
+    dolag_ratio : scalar (g_DE / g_LCDM)(z -> inf) ** 1.5 concentration
+        correction (1 for LCDM).
+
+    Returns (nk, nz).
+    """
+    k = jnp.asarray(k)
+    pk_cb = jnp.asarray(pk_cb)
+    pk_m = jnp.asarray(pk_m)
+    Omega_mz = jnp.atleast_1d(jnp.asarray(Omega_mz))
+    growth_z = jnp.atleast_1d(jnp.asarray(growth_z))
+    nz = Omega_mz.shape[0]
+
+    R = jnp.asarray(np.geomspace(*Rrange, num=nR))
+    lnR = jnp.log(R)
+    sig2 = sigma_tophat2(k, pk_cb, R)                     # (nR, nz)
+    lnsig2 = jnp.log(jnp.maximum(sig2, 1e-300))
+    M2 = natural_cubic_coeffs(lnR, lnsig2)                # spline coeffs
+
+    dc = delta_c(Omega_mz, fnu)                           # (nz,)
+    Dv = Delta_v(Omega_mz, fnu)
+
+    # sigma8_cb(z) for the fitted-parameter relations
+    ln_s8sq = cubic_eval(lnR, lnsig2, M2, jnp.log(jnp.array([8.0])))[0]  # (nz,)
+    sigma8z = jnp.exp(0.5 * ln_s8sq)
+
+    # effective index at the collapse scale (same definition as halofit)
+    _, neff, _ = _nonlinear_scale(lnR, lnsig2 - 2.0 * jnp.log(dc)[None, :])
+
+    kstar = _KSTAR_A * sigma8z ** _KSTAR_P
+    f2h = _F2H_A * sigma8z ** _F2H_P
+    kd = _KD_A * sigma8z ** _KD_P
+    eta = _ETA_A * sigma8z ** _ETA_P
+    alpha = _ALPHA_A * _ALPHA_B ** neff
+
+    # ---- two-halo: de-wiggled, damped linear total-matter spectrum
+    pk_dw_base = dewiggle(k, pk_m, h, omega_m, omega_b, theta_cmb, ns)
+    sv2 = sigma_v2(k, pk_m)                               # (nz,)
+    pk_dw = pk_dw_base + jnp.exp(-(k[:, None] ** 2) * sv2[None, :]) * (pk_m - pk_dw_base)
+    kkd = (k[:, None] / kd[None, :]) ** _ND
+    delta2_2h = (k[:, None] ** 3 / (2 * np.pi ** 2)) * pk_dw * (1.0 - f2h[None, :] * kkd / (1.0 + kkd))
+
+    # ---- one-halo ingredients on the (R, z) grid
+    sig = jnp.sqrt(sig2)
+    nu = dc[None, :] / sig                                # (nR, nz)
+    dlnsig2 = cubic_eval(lnR, lnsig2, M2, lnR, nu=1)      # dln sigma^2/dlnR
+    dnu_dlnR = -0.5 * nu * dlnsig2                        # > 0
+    # Bullock formation redshift: g(zf) = g(z) * dc / sigma(f^(1/3) R, z)
+    sigf = jnp.exp(0.5 * cubic_eval(lnR, lnsig2, M2, lnR + jnp.log(_FORM_FRAC) / 3.0))
+    g_needed = growth_z[None, :] * dc[None, :] / sigf     # (nR, nz)
+    af = jnp.interp(g_needed, jnp.asarray(growth_g), jnp.asarray(growth_a))
+    a_z = jnp.interp(growth_z, jnp.asarray(growth_g), jnp.asarray(growth_a))
+    af = jnp.minimum(af, a_z[None, :])                    # zf >= z
+    conc = _B_MIN * (1.0 / af) * a_z[None, :] * dolag_ratio  # B (1+zf)/(1+z)
+
+    # halo scale radii: rv = R / Dv^(1/3), rs = rv / c
+    rv = R[:, None] / Dv[None, :] ** (1.0 / 3.0)          # (nR, nz)
+    # bloated profile argument: y = (nu^eta k) rv / c
+    krs = (k[:, None, None] * nu[None, :, :] ** eta[None, None, :]
+           * (rv / conc)[None, :, :])                     # (nk, nR, nz)
+    u = nfw_window(krs, conc[None, :, :])
+
+    # one-halo integral over lnR: P_1h = int dlnR dnu/dlnR f(nu) (M/rho) u^2
+    dlnR = lnR[1] - lnR[0]
+    w_int = dnu_dlnR * _st_f(nu) * (4.0 * np.pi / 3.0) * R[:, None] ** 3 * dlnR  # (nR, nz)
+    pk_1h = jnp.einsum('rz,krz->kz', w_int, u ** 2)
+    pk_1h = pk_1h * (1.0 - fnu) ** 2                      # smooth neutrinos
+    kks = (k[:, None] / kstar[None, :]) ** 4
+    delta2_1h = (k[:, None] ** 3 / (2 * np.pi ** 2)) * pk_1h * kks / (1.0 + kks)
+
+    # ---- smoothed transition
+    delta2 = (jnp.maximum(delta2_2h, 0.0) ** alpha[None, :]
+              + delta2_1h ** alpha[None, :]) ** (1.0 / alpha[None, :])
+    return delta2 * (2 * np.pi ** 2) / k[:, None] ** 3
+
+
+def hmcode_pk_interpolator(pk2d_m, background, cosmo_params, pk2d_cb=None, **kwargs):
+    """Non-linear HMcode-2020 PowerSpectrumInterpolator2D from linear ones.
+
+    ``pk2d_m`` (and optionally ``pk2d_cb``): linear interpolators;
+    ``background``: section providing Omega_m(z) and the growth tables;
+    ``cosmo_params``: dict with omega_m, omega_b, h, T_cmb, n_s, fnu,
+    w0_fld, wa_fld and optionally ``dolag_ratio``.
+    """
+    k, z = pk2d_m.k, pk2d_m.z
+    zz = jnp.atleast_1d(jnp.asarray(z))
+    pk_m = pk2d_m(k, zz, grid=True).reshape(k.shape[0], -1)
+    pk_cb = (pk2d_cb(k, zz, grid=True).reshape(k.shape[0], -1)
+             if pk2d_cb is not None else pk_m)
+    Omega_mz = background.Omega_m(zz)
+    a_grid = jnp.asarray(np.geomspace(1e-3, 1.0, 128))
+    growth_g = background.growth_factor(1.0 / a_grid - 1.0)
+    growth_z = background.growth_factor(zz)
+    pk_nl = hmcode2020(
+        k, pk_cb, pk_m, Omega_mz,
+        fnu=cosmo_params.get('fnu', 0.0),
+        omega_m=cosmo_params['omega_m'], omega_b=cosmo_params['omega_b'],
+        h=cosmo_params['h'], theta_cmb=cosmo_params.get('theta_cmb', 1.0),
+        ns=cosmo_params.get('n_s', 0.96),
+        growth_a=a_grid, growth_g=growth_g, growth_z=growth_z,
+        dolag_ratio=cosmo_params.get('dolag_ratio', 1.0))
+    return PowerSpectrumInterpolator2D(k, zz, pk_nl, extrap_kmin=pk2d_m.extrap_kmin,
+                                       extrap_kmax=pk2d_m.extrap_kmax, **kwargs)

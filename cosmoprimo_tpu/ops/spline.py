@@ -224,13 +224,33 @@ class Interpolator1D(object):
         return new
 
 
+def _cell_cubic(h, dl, dr, f0, f1, m0, m1):
+    """Value of the cubic on one knot cell: width ``h``, distances from the
+    left/right knot ``dl``/``dr``, endpoint values ``f0``/``f1`` and endpoint
+    second derivatives ``m0``/``m1``. With m0 = m1 = 0 this reduces exactly to
+    linear interpolation (the k=1 fallback)."""
+    return (m0 * dr**3 / (6 * h) + m1 * dl**3 / (6 * h)
+            + (f0 / h - m0 * h / 6) * dr + (f1 / h - m1 * h / 6) * dl)
+
+
 @jax.tree_util.register_pytree_node_class
 class Interpolator2D(object):
     """2D tensor-product cubic interpolator on a rectangular grid.
 
-    Built as spline-along-y at fixed x-knots (coefficients precomputed),
-    then spline-along-x of the y-evaluations at call time — both stages are
-    batched scans/matmuls, so grid and point evaluation vectorize on TPU.
+    ALL spline coefficients are precomputed at construction: ``My`` (second
+    y-derivatives of the data), ``Mx`` (second x-derivatives), and the cross
+    coefficients ``Mxy`` (x-spline of ``My``). The 1D natural-spline
+    coefficient solve is a linear operator on its data axis, so solving along
+    x commutes with evaluating along y — call time is therefore pure
+    gather + polynomial, with no tridiagonal solve:
+
+    - ``grid=True``: evaluate the y-splines of (F, Mx) at the y-queries, then
+      the x-spline of the results at the x-queries — two batched
+      ``cubic_eval`` passes producing the (nqx, nqy) grid;
+    - ``grid=False``: direct per-pair bicubic evaluation — O(n) gathers of
+      the 4 cell corners from each coefficient table (no full-grid +
+      diagonal).
+
     Replaces the reference's interpax/RectBivariateSpline backend
     (cosmoprimo/jax.py:212-287).
     """
@@ -258,17 +278,40 @@ class Interpolator2D(object):
         self.extrap = bool(extrap)
         self.kx, self.ky = int(kx), int(ky)
         self._tx, self._ty, self._tf = x, y, fun
-        # y-direction spline through each x-row: operate on (ny, nx)
-        if self.ky == 3 and y.shape[0] > 2:
-            self._My = natural_cubic_coeffs(y, fun.T)  # (ny, nx)
-        else:
-            self._My = None
+        # Tensor-product coefficient tables, all in (nx, ny) layout. A zero
+        # table is the exact linear-interpolation fallback (k=1 / 2-pt grid).
+        cubic_y = self.ky == 3 and y.shape[0] > 2
+        cubic_x = self.kx == 3 and x.shape[0] > 2
+        self._My = natural_cubic_coeffs(y, fun.T).T if cubic_y else jnp.zeros_like(fun)
+        self._Mx = natural_cubic_coeffs(x, fun) if cubic_x else jnp.zeros_like(fun)
+        self._Mxy = natural_cubic_coeffs(x, self._My) if (cubic_x and cubic_y) else jnp.zeros_like(fun)
 
-    def _eval_y(self, ty):
-        """Evaluate y-splines at query ty -> (nqy, nx)."""
-        if self._My is not None:
-            return cubic_eval(self._ty, self._tf.T, self._My, ty)
-        return linear_eval(self._ty, self._tf.T, ty)
+    def _eval_pairs(self, tx, ty):
+        """Direct bicubic evaluation at paired points -> (n,)."""
+        nx, ny = self._tx.shape[0], self._ty.shape[0]
+        ix = jnp.clip(jnp.searchsorted(self._tx, tx, side='right') - 1, 0, nx - 2)
+        iy = jnp.clip(jnp.searchsorted(self._ty, ty, side='right') - 1, 0, ny - 2)
+        hx = self._tx[ix + 1] - self._tx[ix]
+        hy = self._ty[iy + 1] - self._ty[iy]
+        dlx, drx = tx - self._tx[ix], self._tx[ix + 1] - tx
+        dly, dry = ty - self._ty[iy], self._ty[iy + 1] - ty
+        # y-direction cubic along the two x-knot rows bounding each query,
+        # for the values (F, My) and for the x-second-derivatives (Mx, Mxy).
+        def row(i):
+            g = _cell_cubic(hy, dly, dry, self._tf[i, iy], self._tf[i, iy + 1],
+                            self._My[i, iy], self._My[i, iy + 1])
+            m = _cell_cubic(hy, dly, dry, self._Mx[i, iy], self._Mx[i, iy + 1],
+                            self._Mxy[i, iy], self._Mxy[i, iy + 1])
+            return g, m
+        g0, m0 = row(ix)
+        g1, m1 = row(ix + 1)
+        return _cell_cubic(hx, dlx, drx, g0, g1, m0, m1)
+
+    def _eval_grid(self, tx, ty):
+        """Tensor-product evaluation on the query grid -> (nqx, nqy)."""
+        gF = cubic_eval(self._ty, self._tf.T, self._My.T, ty)   # (nqy, nx)
+        gM = cubic_eval(self._ty, self._Mx.T, self._Mxy.T, ty)  # (nqy, nx)
+        return cubic_eval(self._tx, gF.T, gM.T, tx)             # (nqx, nqy)
 
     def __call__(self, x, y, grid=True, bounds_error=False):
         from .misc import bcast_dtype, exception
@@ -287,17 +330,7 @@ class Interpolator2D(object):
             exception(raise_error, mask.all())
         tx = jnp.log10(x) if self.interp_x == 'log' else x
         ty = jnp.log10(y) if self.interp_y == 'log' else y
-        gy = self._eval_y(ty)  # (nqy, nx)
-        # x-direction spline per y-query column
-        fx = gy.T  # (nx, nqy)
-        if self.kx == 3 and self._tx.shape[0] > 2:
-            Mx = natural_cubic_coeffs(self._tx, fx)
-            vals = cubic_eval(self._tx, fx, Mx, tx)  # (nqx, nqy)
-        else:
-            vals = linear_eval(self._tx, fx, tx)
-        if not grid:  # paired (x, y): take the matched entries
-            vals = vals[jnp.arange(x.shape[0]), jnp.arange(y.shape[0])]
-        tmp = vals
+        tmp = self._eval_grid(tx, ty) if grid else self._eval_pairs(tx, ty)
         if self.interp_fun == 'log':
             tmp = 10**tmp
         if not self.extrap:
@@ -305,7 +338,8 @@ class Interpolator2D(object):
         return tmp.astype(dtype).reshape(toret_shape)
 
     def tree_flatten(self):
-        children = (self._x, self._y, self._fun, self._tx, self._ty, self._tf, self._My,
+        children = (self._x, self._y, self._fun, self._tx, self._ty, self._tf,
+                    self._Mx, self._My, self._Mxy,
                     self.xmin, self.xmax, self.ymin, self.ymax)
         aux = {name: getattr(self, name) for name in ['interp_x', 'interp_y', 'interp_fun', 'extrap', 'kx', 'ky']}
         return children, aux
@@ -314,6 +348,7 @@ class Interpolator2D(object):
     def tree_unflatten(cls, aux, children):
         new = cls.__new__(cls)
         new.__dict__.update(aux)
-        (new._x, new._y, new._fun, new._tx, new._ty, new._tf, new._My,
+        (new._x, new._y, new._fun, new._tx, new._ty, new._tf,
+         new._Mx, new._My, new._Mxy,
          new.xmin, new.xmax, new.ymin, new.ymax) = children
         return new

@@ -169,6 +169,77 @@ def test_cobaya_get_Cl(tmp_path):
     np.testing.assert_allclose(cl2['tt'][2:], raw[2:] * (ell * (ell + 1) / (2 * np.pi))[2:], rtol=1e-12)
 
 
+def _fresh_theory(cosmo):
+    from cosmoprimo_tpu.bindings.cobaya.cosmoprimo_tpu import CosmoprimoTPU
+    theory = CosmoprimoTPU.__new__(CosmoprimoTPU)
+    theory._base_cosmo = cosmo
+    theory.output_params = []
+    theory.log = None
+    return theory
+
+
+def test_cobaya_must_provide_collectors(cosmo):
+    """Requirement registration: collectors with pooled z-arrays (reference
+    bindings/cobaya/cosmoprimo.py:96-228) and collected products read back
+    by the standard getters."""
+    theory = _fresh_theory(cosmo)
+    z1 = np.array([0.3, 0.8])
+    z2 = np.array([0.8, 1.4])  # overlapping pools must merge
+    theory.must_provide(Hubble={'z': z1}, comoving_radial_distance={'z': z1})
+    theory.must_provide(Hubble={'z': z2}, sigma8_z={'z': z1}, fsigma8={'z': z1})
+    pool = theory.collectors['Hubble'].z_pool
+    np.testing.assert_allclose(pool.values, [0.3, 0.8, 1.4])
+
+    state = {}
+    assert theory.calculate(state, want_derived=False) is True
+    theory.current_state = state
+    # Hubble collected in cobaya's 1/Mpc convention over the pooled z's
+    H = state['Hubble']
+    truth = np.asarray(cosmo.get_background().hubble_function(pool.values)) / 299792.458
+    np.testing.assert_allclose(H, truth, rtol=1e-6)
+    # distances divided by h (Mpc)
+    h = float(np.asarray(cosmo['h']))
+    chi = state['comoving_radial_distance']
+    np.testing.assert_allclose(
+        chi, np.asarray(cosmo.get_background().comoving_radial_distance(z1)) / h, rtol=1e-10)
+    # getters serve from the collected state at the requested z subset
+    s8 = theory.get_sigma8_z(z1)
+    assert s8.shape == z1.shape and np.all((0.2 < s8) & (s8 < 1.2))
+    fs8 = theory.get_fsigma8(np.array([0.8]))
+    assert 0.1 < float(fs8[0]) < 1.0
+
+
+def test_cobaya_must_provide_pk_grid(cosmo):
+    theory = _fresh_theory(cosmo)
+    key = ('Pk_grid', False, 'delta_tot', 'delta_tot')
+    theory.must_provide({key: {'k_max': 2.0, 'z': np.array([0.0, 1.0]), 'nonlinear': False}})
+    assert theory.extra_args['kmax_pk'] == 2.0
+    np.testing.assert_allclose(theory.z_for_matter_power, [0.0, 1.0])
+    state = {}
+    assert theory.calculate(state, want_derived=False) is True
+    theory.current_state = state
+    k, z, pk = state[key]
+    assert pk.shape == (len(z), len(k))
+    np.testing.assert_allclose(z, [0.0, 1.0])
+    # cobaya conventions: k in 1/Mpc, P in Mpc^3
+    h = float(np.asarray(cosmo['h']))
+    truth = cosmo.get_fourier().pk_interpolator()
+    ik = len(k) // 2
+    np.testing.assert_allclose(pk[0, ik], float(truth(k[ik] / h, 0.0)) / h ** 3, rtol=1e-4)
+    # get_Pk_grid serves the collected product
+    k2, z2, pk2 = theory.get_Pk_grid(var_pair=('delta_tot', 'delta_tot'), nonlinear=False)
+    np.testing.assert_allclose(pk2, pk, rtol=1e-12)
+
+
+def test_cobaya_must_provide_cl_and_derived(cosmo):
+    theory = _fresh_theory(cosmo)
+    theory.must_provide(Cl={'tt': 40, 'te': 30}, H0=None)
+    assert theory.extra_args['ellmax_cl'] == 40
+    assert theory.extra_args['lensing'] is True
+    assert 'H0' in theory.derived_extra
+    assert theory.collectors['Cl'].section == 'harmonic'
+
+
 if __name__ == '__main__':
     import sys as _sys
     _sys.exit(pytest.main([__file__, '-q']))

@@ -112,6 +112,20 @@ def test_mlp_engine():
     np.testing.assert_allclose(np.asarray(pred['y']), truth['y'], atol=0.1)
 
 
+def test_mlp_engine_batch_norm():
+    """batch_norm folds BatchNorm into affine Operations; serving stays
+    flax-free (reference tools/mlp.py:119-121, 174-176)."""
+    emulator = Emulator(calculator=toy_calculator, params=PARAMS,
+                        engine=MLPEmulatorEngine(nhidden=(8, 8)))
+    emulator.set_samples(niterations=64)
+    emulator.fit(epochs=20, batch_frac=(1.0,), learning_rate=(1e-2,), patience=20, batch_norm=True)
+    engine = emulator.engines['y']
+    exprs = [op._direct for op in engine.model_operations]
+    assert 'scale * (v - mean) + bias' in exprs
+    pred = emulator.predict({'a': 1.0, 'b': 0.0})
+    assert np.isfinite(np.asarray(pred['y'])).all()
+
+
 @pytest.mark.slow
 def test_emulated_engine(tmp_path):
     cosmo = Cosmology(omega_cdm=0.12, omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649,

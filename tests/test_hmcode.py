@@ -1,0 +1,136 @@
+"""HMcode-2020 tests: special-function parity with scipy, NFW window
+limits, quasi-linear agreement, cross-check against the native halofit, and
+jit/vmap/jacfwd contracts. (No HMcode oracle exists in this zero-egress
+image — see models/hmcode.py docstring for the documented substitutions.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import special as sps
+
+from cosmoprimo_tpu.cosmology import Cosmology
+from cosmoprimo_tpu.models.hmcode import delta_c, Delta_v, dewiggle, nfw_window, sigma_tophat2
+from cosmoprimo_tpu.ops.special import sici
+
+PARAMS = dict(omega_cdm=0.12, omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649)
+
+
+@pytest.fixture(scope='module')
+def cosmo():
+    return Cosmology(engine='eisenstein_hu', **PARAMS)
+
+
+def test_sici_vs_scipy():
+    x = np.concatenate([np.geomspace(1e-4, 4.0, 200), np.geomspace(4.0001, 1e4, 200)])
+    si, ci = sici(x)
+    si_t, ci_t = sps.sici(x)
+    np.testing.assert_allclose(np.asarray(si), si_t, rtol=0, atol=5e-13)
+    np.testing.assert_allclose(np.asarray(ci), ci_t, rtol=0, atol=5e-13)
+    # differentiable: dSi/dx = sin(x)/x
+    g = float(jax.grad(lambda v: sici(v)[0])(2.0))
+    assert abs(g - np.sin(2.0) / 2.0) < 1e-12
+
+
+def test_nfw_window_limits():
+    c = jnp.array([3.0, 6.0, 12.0])
+    u0 = np.asarray(nfw_window(jnp.array([1e-6])[:, None], c[None, :]))
+    np.testing.assert_allclose(u0, 1.0, atol=1e-4)
+    # decreasing in k, positive normalization
+    y = jnp.geomspace(1e-3, 10.0, 50)
+    u = np.asarray(nfw_window(y[:, None], c[None, :]))
+    assert (u[0] > u[-1]).all() and np.isfinite(u).all()
+
+
+def test_delta_c_Delta_v():
+    assert abs(float(delta_c(jnp.array(1.0))) - 1.6865) < 2e-3  # EdS limit
+    assert abs(float(Delta_v(jnp.array(1.0))) - 18 * np.pi ** 2) < 1e-6
+    # neutrino multipliers
+    assert float(delta_c(jnp.array(0.3), fnu=0.1)) > float(delta_c(jnp.array(0.3)))
+
+
+def test_sigma_tophat_vs_quadrature(cosmo):
+    from scipy.integrate import quad
+    pk = cosmo.get_fourier().pk_interpolator()
+    k = np.geomspace(1e-5, 1e2, 2048)
+    pkv = np.asarray(pk(k, 0.0))
+    R = jnp.array([4.0, 8.0, 16.0])
+    got = np.asarray(sigma_tophat2(jnp.asarray(k), jnp.asarray(pkv)[:, None], R))[:, 0]
+    lnpk = lambda lnk: np.interp(lnk, np.log(k), np.log(pkv))
+
+    def integrand(lnk, r):
+        kk = np.exp(lnk)
+        x = kk * r
+        w = 3 * (np.sin(x) - x * np.cos(x)) / x ** 3
+        return kk ** 3 * np.exp(lnpk(lnk)) / (2 * np.pi ** 2) * w ** 2
+
+    for i, r in enumerate([4.0, 8.0, 16.0]):
+        truth = quad(integrand, np.log(1e-5), np.log(1e2), args=(r,), limit=400)[0]
+        assert abs(got[i] / truth - 1) < 1e-3
+
+
+def test_dewiggle_preserves_broadband(cosmo):
+    pk = cosmo.get_fourier().pk_interpolator()
+    k = np.geomspace(1e-4, 10, 512)
+    pkv = np.asarray(pk(k, 0.0))[:, None]
+    h = PARAMS['h']
+    pk_nw = np.asarray(dewiggle(jnp.asarray(k), jnp.asarray(pkv), h,
+                                (0.12 + 0.02237) / 1.0, 0.02237, 2.7255 / 2.7, PARAMS['n_s']))[:, 0]
+    ratio = pkv[:, 0] / pk_nw
+    # broadband preserved to a few %, wiggles smoothed out: the residual
+    # oscillates around 1 in the BAO range
+    assert np.all(np.abs(ratio - 1) < 0.06)
+    bao = (k > 0.05) & (k < 0.3)
+    assert 0.99 < ratio[bao].mean() < 1.01
+    # smoothness: the no-wiggle curvature is much smaller than the input's
+    d2 = np.diff(np.log(pk_nw), 2)
+    d2_in = np.diff(np.log(pkv[:, 0]), 2)
+    assert np.abs(d2[bao[1:-1]]).max() < 0.5 * np.abs(d2_in[bao[1:-1]]).max()
+
+
+def test_hmcode_quasi_linear_and_halofit(cosmo):
+    fo = cosmo.get_fourier()
+    zgrid = np.array([0.0, 0.5, 1.0, 2.0])  # small z table: eager cost ~ nz
+    lin = fo.pk_interpolator(z=zgrid)
+    hm = fo.pk_interpolator(non_linear='mead', z=zgrid)
+    hf = fo.pk_interpolator(non_linear='halofit', z=zgrid)
+    k = np.geomspace(2e-3, 8.0, 60)
+    for z in [0.0, 1.0]:
+        pl, pm, ph = (np.asarray(p(k, z)) for p in (lin, hm, hf))
+        ratio_lin = pm / pl
+        # quasi-linear limit
+        assert np.all(np.abs(ratio_lin[k < 8e-3] - 1) < 0.01)
+        # non-linear boost at small scales, finite everywhere
+        assert ratio_lin[-1] > 3.0 and np.isfinite(pm).all()
+        # tracks halofit within the expected model spread
+        band = (k > 0.1) & (k < 8.0)
+        assert np.all((pm[band] / ph[band] > 0.55) & (pm[band] / ph[band] < 1.5))
+
+
+def test_hmcode_amplitude_scaling(cosmo):
+    """More power -> more non-linear boost (deeper one-halo term)."""
+    k = np.array([2.0])
+    z = np.array([0.0])
+    hi = Cosmology(engine='eisenstein_hu', **{**PARAMS, 'A_s': 2.6e-9})
+    boost = float(np.asarray(cosmo.get_fourier().pk_interpolator(non_linear='mead', z=z)(k, 0.0))
+                  / np.asarray(cosmo.get_fourier().pk_interpolator(z=z)(k, 0.0)))
+    boost_hi = float(np.asarray(hi.get_fourier().pk_interpolator(non_linear='mead', z=z)(k, 0.0))
+                     / np.asarray(hi.get_fourier().pk_interpolator(z=z)(k, 0.0)))
+    assert boost_hi > boost > 1.0
+
+
+@pytest.mark.slow
+def test_hmcode_jit_vmap_grad():
+    k = jnp.geomspace(1e-3, 5.0, 128)
+
+    def pk_nl(omega_cdm):
+        cosmo = Cosmology(omega_cdm=omega_cdm, omega_b=0.02237, h=0.6736,
+                          A_s=2.083e-9, n_s=0.9649, engine='eisenstein_hu')
+        return cosmo.get_fourier().pk_interpolator(non_linear='mead', z=np.array([0.0, 1.0]))(k, 0.0)
+
+    out = jax.jit(pk_nl)(0.12)
+    assert np.isfinite(np.asarray(out)).all()
+    outs = jax.jit(jax.vmap(pk_nl))(jnp.array([0.115, 0.12, 0.125]))
+    assert outs.shape == (3, 128) and np.isfinite(np.asarray(outs)).all()
+    g = jax.jacfwd(lambda oc: jnp.sum(pk_nl(oc)))(0.12)
+    assert np.isfinite(float(g)) and float(g) != 0.0

@@ -111,6 +111,32 @@ def test_interpolator2d():
     # non-grid
     got_pair = np.asarray(interp(qx[:11], qy, grid=False))
     np.testing.assert_allclose(got_pair, np.sin(qx[:11]) * np.exp(qy), rtol=2e-4)
+    # pairs agree exactly with the grid diagonal
+    diag = np.asarray(interp(qx[:11], qy, grid=True))[np.arange(11), np.arange(11)]
+    np.testing.assert_allclose(got_pair, diag, rtol=1e-12)
+
+
+def test_interpolator2d_paired_is_linear_cost():
+    """grid=False evaluates pairs directly: no O(n^2) intermediate. Contract:
+    the compiled paired evaluation of n = 1e4 points allocates temporaries
+    linear in n (a full-grid implementation would need >= n^2 * 8 bytes =
+    800 MB here)."""
+    x = np.linspace(0, 3, 64)
+    y = np.linspace(-1, 1, 64)
+    f = np.sin(x)[:, None] * np.exp(y)[None, :]
+    interp = Interpolator2D(x, y, f)
+    n = 10_000
+    qx = jnp.linspace(0.1, 2.9, n)
+    qy = jnp.linspace(-0.9, 0.9, n)
+    fn = jax.jit(lambda a, b: interp(a, b, grid=False))
+    out = np.asarray(fn(qx, qy))
+    np.testing.assert_allclose(out, np.sin(np.asarray(qx)) * np.exp(np.asarray(qy)), rtol=1e-4)
+    try:
+        mem = fn.lower(qx, qy).compile().memory_analysis()
+        temp = int(mem.temp_size_in_bytes)
+    except Exception:  # backend without memory analysis
+        return
+    assert temp < 100 * n * 8, f'paired eval allocates {temp} bytes (O(n^2)?)'
 
 
 def test_simpson():
