@@ -1277,6 +1277,14 @@ class DefaultBackground(BaseBackground):
         super().__init__(engine)
         self._cache = {}
 
+    def _ensure_ncdm_tables(self):
+        """Materialize the ncdm interpolation tables BEFORE entering any
+        lax.scan (odeint) whose body touches rho/p_ncdm: a table built while
+        tracing the scan body would cache tracers and leak."""
+        if self.N_ncdm:
+            self.rho_ncdm(jnp.zeros(1))
+            self.p_ncdm(jnp.zeros(1))
+
     @flatarray()
     def rho_ncdm(self, z, species=None):
         if self.N_ncdm == 0:
@@ -1305,6 +1313,7 @@ class DefaultBackground(BaseBackground):
     def time(self, z):
         r"""Proper time (age of universe at z), in Gyr."""
         if 'time' not in self._cache:
+            self._ensure_ncdm_tables()
             zc = get_default_z_interp('time')
             integ = lambda y, zz: constants.c / 1e3 / (1.0 + zz) / (100.0 * self.efunc(zz))
             tmp = odeint(integ, 0.0, jnp.asarray(zc))
@@ -1315,6 +1324,7 @@ class DefaultBackground(BaseBackground):
     def age(self):
         r"""Current age of the Universe, in Gyr."""
         if 'age' not in self._cache:
+            self._ensure_ncdm_tables()
             zc = get_default_z_interp('age')
             integ = lambda y, zz: constants.c / 1e3 / (1.0 + zz) / (100.0 * self.efunc(zz))
             tmp = odeint(integ, 0.0, jnp.asarray(zc))
@@ -1325,6 +1335,7 @@ class DefaultBackground(BaseBackground):
     def comoving_radial_distance(self, z):
         r"""Comoving radial distance, in Mpc/h (astro-ph/9905116 eq. 15)."""
         if 'comoving_radial_distance' not in self._cache:
+            self._ensure_ncdm_tables()
             zc = get_default_z_interp('comoving_radial_distance')
             integ = lambda y, zz: constants.c / 1e3 / (100.0 * self.efunc(zz))
             tmp = odeint(integ, 0.0, jnp.asarray(zc))
@@ -1335,6 +1346,7 @@ class DefaultBackground(BaseBackground):
         name_factor = f'growth_factor_{mass}'
         name_rate = f'growth_rate_{mass}'
         if name_factor not in self._cache:
+            self._ensure_ncdm_tables()
             if mass == 'm':
                 Omega_mass = self.Omega_m
             elif mass == 'cb':

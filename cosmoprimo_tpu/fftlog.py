@@ -281,11 +281,20 @@ class FFTlog(object):
         from .ops.pallas_fft import fftlog_pallas
         u = np.asarray(u) if not _is_traced(u) else u
         fun = (padded_fun * prefactor).reshape(-1, self.padded_size)
-        # block > 8 crashes this toolchain's tpu_compile_helper: default to
-        # the largest safe tile; override via FFTlog(..., engine='pallas', block=...)
+        # block != 8 is rejected by the Pallas TPU lowering (last-two-dims
+        # divisibility); override via FFTlog(..., engine='pallas', block=...)
         block = int(getattr(self, 'engine_kwargs', {}).get('block', 8))
-        out = fftlog_pallas(fun, jnp.real(jnp.asarray(u[0])), jnp.imag(jnp.asarray(u[0])),
-                            jnp.asarray(postfactor[0]), block=block)
+        # split the complex Mellin coefficients on the HOST: a complex128
+        # constant inside the jit graph cannot compile on TPU (no C128)
+        if isinstance(u, np.ndarray):
+            u_re, u_im = jnp.asarray(np.real(u[0])), jnp.asarray(np.imag(u[0]))
+        else:
+            u_re, u_im = jnp.real(u[0]), jnp.imag(u[0])
+        if isinstance(postfactor, np.ndarray):
+            post = jnp.asarray(postfactor[0])
+        else:
+            post = jnp.asarray(postfactor)[0] if jnp.ndim(postfactor) > 1 else jnp.asarray(postfactor)
+        out = fftlog_pallas(fun, u_re, u_im, post, block=block)
         return out.reshape(padded_fun.shape[:-1] + (self.padded_size,))
 
     def __call__(self, fun, extrap=0, keep_padding=False):

@@ -18,13 +18,14 @@ multiply, inverse FFT — on a (block, n) tile resident in VMEM:
 ``fftlog_pair_reference`` is the identical-contract jnp float64 path used
 for verification and on backends with native f64.
 
-Known limitation (this image's remote-compile toolchain): the kernel
-compiles and runs standalone — jit(fftlog_pallas) at (4096, 4096) measures
-2x faster than the XLA f64 pair-FFT at 9e-15 accuracy — but embedding the
-pallas_call inside a large jit graph (e.g. the full vmapped pipeline)
-crashes the tpu_compile_helper subprocess, as do block sizes > 8. FFTlog's
-``engine='pallas'`` is therefore opt-in for standalone transforms; the
-default TPU path remains the f64 pair FFT.
+Toolchain notes: block sizes other than 8 are rejected by the Pallas TPU
+lowering (last-two-dims divisibility). The round-1 'crashes inside large
+jit graphs' failure was NOT the kernel: FFTlog._call_pallas materialized a
+complex128 constant (jnp.real(jnp.asarray(u)) on the host coefficients)
+inside the traced graph, which TPU cannot compile; with the split done in
+numpy the kernel now compiles embedded in the full batched pipeline and is
+the headline bench path (~16% over the XLA f64 pair-FFT end to end, ~2x on
+the transform alone, at ~1e-14 accuracy).
 """
 
 import functools

@@ -90,6 +90,8 @@ def test_cosmosis_execute():
     names = _install_fake_cosmosis()
     try:
         class Options:
+            """Fake ini options: enable the fourier products."""
+
             def get_string(self, s, n, default=''):
                 return default
 
@@ -97,12 +99,13 @@ def test_cosmosis_execute():
                 return default
 
             def get_int(self, s, n, default=0):
-                return default
+                return {'nz': 20}.get(n, default)
 
             def get_bool(self, s, n, default=False):
-                return default
+                return True if n == 'fourier' else default
 
         config = iface.setup(Options())
+        assert config['fourier'] is True
         block = _FakeBlock()
         cp = names.cosmological_parameters
         block[cp, 'h0'] = 0.6736
@@ -116,17 +119,35 @@ def test_cosmosis_execute():
         dc = block['distances', 'd_c']
         da = block['distances', 'd_a']
         assert np.all(np.diff(dc) > 0)
-        # cosmosis units: Mpc; d_a = d_m / (1+z) in a flat universe
+        # cosmosis units: Mpc; d_a = d_m / (1+z)
         np.testing.assert_allclose(da[1:], np.asarray(block['distances', 'd_m'])[1:] / (1 + z[1:]), rtol=1e-10)
+        # m_ncdm = 0.06 is the reference interface's default (mnu)
         cosmo = config['base'].clone(h=0.6736, Omega_b=0.0493, Omega_cdm=0.2645,
-                                     n_s=0.9649, A_s=2.083e-9)
+                                     n_s=0.9649, A_s=2.083e-9, m_ncdm=0.06,
+                                     z_pk=np.linspace(0.0, 3.01, 20), kmax_pk=50.0)
         np.testing.assert_allclose(dc, np.asarray(cosmo.get_background().comoving_radial_distance(z)) / 0.6736,
-                                   rtol=1e-10)
+                                   rtol=1e-8)
+        # distance extras: D_V, H, mu, rs
+        assert np.isfinite(block['distances', 'd_v'][1:]).all()
+        np.testing.assert_allclose(block['distances', 'mu'][1:],
+                                   5 * np.log10(block['distances', 'd_l'][1:]) + 25, rtol=1e-12)
+        assert 90 < block['distances', 'rs_zdrag'] < 160
+        assert np.isfinite(block['distances', 'f_ap'][1:]).all()
         # growth and pk blocks
+        zg = block['growth', 'z']
         assert np.all(np.diff(block['growth', 'd_z']) < 0)
+        assert np.all((block['growth', 'f_z'] > 0.3) & (block['growth', 'f_z'] < 1.1))
+        np.testing.assert_allclose(block['growth', 'fsigma_8'],
+                                   block['growth', 'f_z'] * np.asarray(
+                                       cosmo.get_fourier().sigma8_z(zg, of='delta_cb')), rtol=1e-6)
         pkz = block['matter_power_lin', 'p_k']
-        assert pkz.shape == (len(z), len(config['k'])) and np.all(np.isfinite(pkz)) and np.all(pkz > 0)
+        nk = len(block['matter_power_lin', 'k_h'])
+        nzpk = len(block['matter_power_lin', 'z'])
+        assert pkz.shape == (nzpk, nk) and np.all(np.isfinite(pkz)) and np.all(pkz > 0)
+        assert ('cdm_baryon_power_lin', 'p_k') in block
         assert 0.5 < block[cp, 'sigma_8'] < 1.1
+        assert 0.3 < block[cp, 'S_8'] < 1.2
+        assert block[cp, 'sigma_12'] > 0
         assert iface.cleanup(config) == 0
     finally:
         sys.modules.pop('cosmosis', None)

@@ -131,7 +131,7 @@ def test_non_linear_cosmology_param(cosmo, lin):
     np.testing.assert_allclose(np.asarray(nl_a(k, z=0.0)), np.asarray(nl_b(k, z=0.0)), rtol=1e-12)
     from cosmoprimo_tpu.cosmology import CosmologyInputError
     with pytest.raises(CosmologyInputError):
-        cosmo.get_fourier().pk_interpolator(non_linear='mead')
+        cosmo.get_fourier().pk_interpolator(non_linear='no_such_transform')
 
 def test_halofit_emulated_roundtrip(tmp_path):
     # non-linear tables flow through the emulator train->serve loop

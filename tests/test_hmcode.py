@@ -110,7 +110,7 @@ def test_hmcode_quasi_linear_and_halofit(cosmo):
 def test_hmcode_amplitude_scaling(cosmo):
     """More power -> more non-linear boost (deeper one-halo term)."""
     k = np.array([2.0])
-    z = np.array([0.0])
+    z = np.array([0.0, 1.0])
     hi = Cosmology(engine='eisenstein_hu', **{**PARAMS, 'A_s': 2.6e-9})
     boost = float(np.asarray(cosmo.get_fourier().pk_interpolator(non_linear='mead', z=z)(k, 0.0))
                   / np.asarray(cosmo.get_fourier().pk_interpolator(z=z)(k, 0.0)))
