@@ -159,7 +159,7 @@ def _st_f(nu):
 
 def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns,
                growth_a, growth_g, growth_z, dolag_ratio=1.0,
-               nR=64, Rrange=(5e-4, 5e1)):
+               nR=64, Rrange=(5e-4, 5e1), nk_one_halo=64):
     """HMcode-2020 non-linear P(k, z).
 
     Parameters
@@ -232,15 +232,33 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
 
     # halo scale radii: rv = R / Dv^(1/3), rs = rv / c
     rv = R[:, None] / Dv[None, :] ** (1.0 / 3.0)          # (nR, nz)
+    # The one-halo term is smooth in k (no BAO structure): evaluate the
+    # (k, R, z) profile tensor on a coarse k-subgrid and spline ln P_1h
+    # back to the full grid — ~nk/nk1h less work for the dominant tensor.
+    # Accuracy vs the dense evaluation at the default 64 nodes: < 4e-4 for
+    # k <= 10 h/Mpc (the halo model's calibrated regime); up to ~1% on the
+    # k > 30 tail where the truncated-NFW oscillation is undersampled
+    # (raise nk_one_halo if that tail matters).
+    nk = k.shape[0]
+    nk1h = min(nk_one_halo, nk)
+    isub = np.unique(np.round(np.linspace(0, nk - 1, nk1h)).astype(int))
+    ksub = k[isub]
     # bloated profile argument: y = (nu^eta k) rv / c
-    krs = (k[:, None, None] * nu[None, :, :] ** eta[None, None, :]
-           * (rv / conc)[None, :, :])                     # (nk, nR, nz)
+    krs = (ksub[:, None, None] * nu[None, :, :] ** eta[None, None, :]
+           * (rv / conc)[None, :, :])                     # (nk1h, nR, nz)
     u = nfw_window(krs, conc[None, :, :])
 
     # one-halo integral over lnR: P_1h = int dlnR dnu/dlnR f(nu) (M/rho) u^2
     dlnR = lnR[1] - lnR[0]
     w_int = dnu_dlnR * _st_f(nu) * (4.0 * np.pi / 3.0) * R[:, None] ** 3 * dlnR  # (nR, nz)
-    pk_1h = jnp.einsum('rz,krz->kz', w_int, u ** 2)
+    pk_1h_sub = jnp.einsum('rz,krz->kz', w_int, u ** 2)
+    if len(isub) < nk:
+        lnk = jnp.log(k)
+        ln_p1h = jnp.log(jnp.maximum(pk_1h_sub, 1e-300))
+        Mk = natural_cubic_coeffs(lnk[isub], ln_p1h)
+        pk_1h = jnp.exp(cubic_eval(lnk[isub], ln_p1h, Mk, lnk))
+    else:
+        pk_1h = pk_1h_sub
     pk_1h = pk_1h * (1.0 - fnu) ** 2                      # smooth neutrinos
     kks = (k[:, None] / kstar[None, :]) ** 4
     delta2_1h = (k[:, None] ** 3 / (2 * np.pi ** 2)) * pk_1h * kks / (1.0 + kks)

@@ -134,3 +134,26 @@ def test_hmcode_jit_vmap_grad():
     assert outs.shape == (3, 128) and np.isfinite(np.asarray(outs)).all()
     g = jax.jacfwd(lambda oc: jnp.sum(pk_nl(oc)))(0.12)
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_one_halo_subgrid_accuracy(cosmo):
+    """The coarse one-halo k-subgrid (nk_one_halo=64) reproduces the dense
+    evaluation to < 1e-3 for k <= 10 h/Mpc (the calibrated regime)."""
+    from cosmoprimo_tpu.models.hmcode import hmcode2020
+    fo = cosmo.get_fourier()
+    z = np.array([0.0, 1.0])
+    lin = fo.pk_interpolator(z=z)
+    k = np.asarray(lin.k)
+    pk = np.asarray(lin(k, z))
+    ba = cosmo.get_background()
+    a_grid = jnp.asarray(np.geomspace(1e-3, 1.0, 128))
+    args = dict(fnu=0.0, omega_m=float(np.asarray(cosmo['Omega_m'])) * PARAMS['h'] ** 2,
+                omega_b=PARAMS['omega_b'], h=PARAMS['h'], theta_cmb=2.7255 / 2.7, ns=PARAMS['n_s'],
+                growth_a=a_grid, growth_g=ba.growth_factor(1.0 / a_grid - 1.0),
+                growth_z=ba.growth_factor(jnp.asarray(z)))
+    Om = ba.Omega_m(jnp.asarray(z))
+    p_sub = np.asarray(hmcode2020(jnp.asarray(k), jnp.asarray(pk), jnp.asarray(pk), Om, **args))
+    p_dense = np.asarray(hmcode2020(jnp.asarray(k), jnp.asarray(pk), jnp.asarray(pk), Om,
+                                    nk_one_halo=10 ** 9, **args))
+    mask = k < 10.0
+    assert np.abs(p_sub[mask] / p_dense[mask] - 1).max() < 1e-3
