@@ -147,22 +147,38 @@ def main():
     bench_pallas_fftlog()
 
 
+
+def _build_batched_checksum(nk, non_linear, warm_args):
+    """Jitted checksum over the batched pipeline, preferring the fused
+    Pallas FFT on TPU with automatic fallback to the XLA engine."""
+    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline_batched
+
+    def build(engine):
+        fn, k, s = make_pk_to_xi_pipeline_batched(nk=nk, non_linear=non_linear, fft_engine=engine)
+
+        @jax.jit
+        def checksum(*args):
+            xi, chi, s8 = fn(*args)
+            return jnp.sum(xi) + jnp.sum(chi) + jnp.sum(s8)
+
+        return checksum
+
+    engine = 'pallas' if jax.default_backend() == 'tpu' else 'auto'
+    try:
+        checksum = build(engine)
+        float(checksum(*warm_args))  # compile + warm
+    except Exception:
+        checksum = build('auto')
+        float(checksum(*warm_args))
+    return checksum
+
+
 def bench_halofit(baseline_rate, nrep=3):
     """Non-linear (native halofit) pk->xi pipeline rate — the same flagship
     workload with the halo-fit transform inserted per cosmology."""
-    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline
-
     n = int(os.environ.get('BENCH_N_NL', '4096'))
-    fn, k, s = make_pk_to_xi_pipeline(nk=1024, non_linear='halofit')
-    batched = jax.vmap(fn)
-
-    @jax.jit
-    def checksum(*args):
-        xi, chi, s8 = batched(*args)
-        return jnp.sum(xi) + jnp.sum(chi) + jnp.sum(s8)
-
     args_list = [make_args(n, seed=10 + i) for i in range(nrep + 1)]
-    float(checksum(*args_list[0]))  # compile + warm
+    checksum = _build_batched_checksum(nk=1024, non_linear='halofit', warm_args=args_list[0])
     best = np.inf
     for i in range(1, nrep + 1):
         t0 = time.time()
@@ -183,19 +199,9 @@ def bench_hmcode(baseline_rate, nrep=3):
     """HMcode-2020 halo-model pk->xi pipeline rate (full Sheth-Tormen + NFW
     one-halo integral per cosmology) — capability the reference only has
     through CLASS/CAMB Fortran/C."""
-    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline
-
     n = int(os.environ.get('BENCH_N_HM', '512'))
-    fn, k, s = make_pk_to_xi_pipeline(nk=512, non_linear='mead')
-    batched = jax.vmap(fn)
-
-    @jax.jit
-    def checksum(*args):
-        xi, chi, s8 = batched(*args)
-        return jnp.sum(xi) + jnp.sum(chi) + jnp.sum(s8)
-
     args_list = [make_args(n, seed=20 + i) for i in range(nrep + 1)]
-    float(checksum(*args_list[0]))  # compile + warm
+    checksum = _build_batched_checksum(nk=512, non_linear='mead', warm_args=args_list[0])
     best = np.inf
     for i in range(1, nrep + 1):
         t0 = time.time()

@@ -23,15 +23,15 @@ from ..ops import Interpolator1D, flatarray
 
 
 def get_default_k_callable():
-    k = np.concatenate([np.array([1e-6]),
-                        np.logspace(-5, -4, num=20, endpoint=False),
-                        np.logspace(-4, -3, num=40, endpoint=False),
-                        np.logspace(-3, -2, num=60, endpoint=False),
-                        np.logspace(-2, -1, num=80, endpoint=False),
-                        np.logspace(-1, 0, num=100, endpoint=False),
-                        np.logspace(0, 1, num=120, endpoint=True),
-                        np.array([1e2])])
-    return k
+    """cosmopower-style k-grid (on-disk schema: must match the reference's
+    emulator files): per-decade point counts 20/40/60/80/100/120 over
+    [1e-5, 10], with 1e-6 / 1e2 end anchors."""
+    counts = {-5: 20, -4: 40, -3: 60, -2: 80, -1: 100}
+    segments = [np.array([1e-6])]
+    for decade, num in counts.items():
+        segments.append(np.logspace(decade, decade + 1, num=num, endpoint=False))
+    segments += [np.logspace(0, 1, num=120, endpoint=True), np.array([1e2])]
+    return np.concatenate(segments)
 
 
 def get_default_z_callable(key='fourier', non_linear=False):
@@ -290,10 +290,8 @@ class Primordial(BaseSection):
     def __init__(self, engine):
         super().__init__(engine)
         self.__setstate__(engine._predict(section='primordial'))
-        self._h = engine['h']
-        self._n_s = engine['n_s']
-        self._alpha_s = engine['alpha_s']
-        self._beta_s = engine['beta_s']
+        for name in ['h', 'n_s', 'alpha_s', 'beta_s']:
+            setattr(self, '_' + name, engine[name])
         self._k_pivot = engine['k_pivot'] / self._h
         self._rsigma8 = engine._rescale_sigma8()
 
@@ -324,16 +322,14 @@ class cl_table(dict):
     """Dict-of-arrays Cl container mimicking a structured array
     (reference's fake_nparray; keys 'ell', 'tt', 'ee', ...)."""
 
-    @property
-    def size(self):
-        for value in self.values():
-            return value.size
-        return 0
-
     def __getitem__(self, name):
         if isinstance(name, str):
             return super().__getitem__(name)
         return self.__class__({key: self[key][name] for key in self})
+
+    @property
+    def size(self):
+        return next((value.size for value in self.values()), 0)
 
 
 @register_section
@@ -403,14 +399,13 @@ class Fourier(BaseSection):
 
     def __init__(self, engine):
         super().__init__(engine)
-        self._callable = False
-        state = engine._predict(section='fourier')
-        if callable(state):
-            self._callable = state
-        else:
-            self.__setstate__(state)
         self._h = engine['h']
         self._rsigma8 = engine._rescale_sigma8()
+        state = engine._predict(section='fourier')
+        # z-requiring nets give back a completion callable instead of tables
+        self._callable = state if callable(state) else False
+        if not self._callable:
+            self.__setstate__(state)
 
     @property
     def sigma8_m(self):

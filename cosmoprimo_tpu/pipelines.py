@@ -94,12 +94,12 @@ def make_distance_pipeline(engine='eisenstein_hu', zq=None):
 
 
 def make_pk_to_xi_pipeline_batched(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu',
-                                   z=jnp.array([0.0]), fft_engine='auto'):
+                                   z=jnp.array([0.0]), fft_engine='auto', non_linear=False):
     """Batched variant: ``fn(omega_cdm[B], omega_b[B], h[B], n_s[B],
-    logA[B])`` evaluates P(k) per cosmology under vmap, then runs ONE
+    logA[B])`` evaluates P(k) (optionally pushed through the halofit or
+    HMcode non-linear transform) per cosmology under vmap, then runs ONE
     batched FFTLog over all (B, nz) rows — so the fused Pallas engine
-    (which cannot sit under vmap on this toolchain) applies to the whole
-    batch in a single kernel launch.
+    applies to the whole batch in a single kernel launch.
     """
     k = jnp.asarray(np.geomspace(kmin, kmax, nk))
     p2c = PowerToCorrelation(np.geomspace(kmin, kmax, nk), engine=fft_engine)
@@ -110,8 +110,28 @@ def make_pk_to_xi_pipeline_batched(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenst
         fo = cosmo.get_fourier()
         pk = fo.pk_interpolator()
         pkz = pk(k, z, ignore_growth=False)          # (nk, nz)
-        chi = cosmo.get_background().comoving_radial_distance(zq)
-        sigma8 = pk.sigma8_z(0.0, method='simpson')
+        ba = cosmo.get_background()
+        sigma8 = pk.sigma8_z(0.0, method='simpson')  # linear by definition
+        zz = jnp.atleast_1d(z)
+        if non_linear in ('halofit', 'takahashi', True):
+            from .models.halofit import halofit
+            pkz = halofit(k, pkz, ba.Omega_m(zz), ba.Omega_de(zz),
+                          cosmo['w0_fld'] + cosmo['wa_fld'] * zz / (1.0 + zz),
+                          fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
+                          Omega_m0=cosmo['Omega_m'])
+        elif non_linear in ('mead', 'hmcode'):
+            from . import constants
+            from .models.hmcode import hmcode2020
+            a_grid = jnp.asarray(np.geomspace(1e-3, 1.0, 128))
+            pkz = hmcode2020(k, pkz, pkz, ba.Omega_m(zz),
+                             fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
+                             omega_m=cosmo['Omega_m'] * h ** 2, omega_b=omega_b,
+                             h=h, theta_cmb=constants.TCMB / 2.7, ns=n_s,
+                             growth_a=a_grid, growth_g=ba.growth_factor(1.0 / a_grid - 1.0),
+                             growth_z=ba.growth_factor(zz))
+        elif non_linear:
+            raise ValueError(f'unknown non_linear {non_linear!r}')
+        chi = ba.comoving_radial_distance(zq)
         return pkz, chi, sigma8
 
     def fn(omega_cdm, omega_b, h, n_s, logA):
