@@ -25,7 +25,7 @@ import numpy as np
 
 from . import constants, utils
 from .ops import bisect, bracket, exception, exception_or_nan, flatarray
-from .ops import gauss_laguerre_nodes, odeint, romberg
+from .ops import cumquad_rk4, gauss_laguerre_nodes, odeint, romberg
 from .ops.roots import for_cond_loop
 from .ops.spline import Interpolator1D
 
@@ -1316,7 +1316,7 @@ class DefaultBackground(BaseBackground):
             self._ensure_ncdm_tables()
             zc = get_default_z_interp('time')
             integ = lambda y, zz: constants.c / 1e3 / (1.0 + zz) / (100.0 * self.efunc(zz))
-            tmp = odeint(integ, 0.0, jnp.asarray(zc))
+            tmp = cumquad_rk4(integ, 0.0, jnp.asarray(zc))  # y-independent integrand: no scan
             self._cache['time'] = Interpolator1D(zc, (tmp[-1] - tmp) / self.h / constants.gigayear_over_megaparsec, assume_sorted=True)
         return self._cache['time'](z)
 
@@ -1327,7 +1327,7 @@ class DefaultBackground(BaseBackground):
             self._ensure_ncdm_tables()
             zc = get_default_z_interp('age')
             integ = lambda y, zz: constants.c / 1e3 / (1.0 + zz) / (100.0 * self.efunc(zz))
-            tmp = odeint(integ, 0.0, jnp.asarray(zc))
+            tmp = cumquad_rk4(integ, 0.0, jnp.asarray(zc))  # y-independent integrand: no scan
             self._cache['age'] = (tmp[-1] - tmp[0]) / self.h / constants.gigayear_over_megaparsec
         return self._cache['age']
 
@@ -1338,7 +1338,7 @@ class DefaultBackground(BaseBackground):
             self._ensure_ncdm_tables()
             zc = get_default_z_interp('comoving_radial_distance')
             integ = lambda y, zz: constants.c / 1e3 / (100.0 * self.efunc(zz))
-            tmp = odeint(integ, 0.0, jnp.asarray(zc))
+            tmp = cumquad_rk4(integ, 0.0, jnp.asarray(zc))  # y-independent integrand: no scan
             self._cache['comoving_radial_distance'] = Interpolator1D(zc, tmp, assume_sorted=True)
         return self._cache['comoving_radial_distance'](z)
 

@@ -45,3 +45,26 @@ def odeint(fun, y0, t, args=(), method='rk4'):
     # First output corresponds to t[0] with zero step (y0 itself).
     (_, _), ys = jax.lax.scan(scan_fn, (y0, t[0]), t)
     return ys
+
+
+def cumquad_rk4(fun, y0, t, args=()):
+    """Cumulative integral y(t) = y0 + int fun(t') dt' on the fixed grid
+    ``t``, for integrands that do NOT depend on y.
+
+    Numerically identical to ``odeint(fun, y0, t, method='rk4')`` for
+    y-independent ``fun`` (RK4 on a quadrature problem collapses to the
+    Simpson rule with midpoint evaluation per interval), but the sequential
+    lax.scan becomes a vectorized evaluation + one cumsum — no per-step
+    kernel launches inside jit/vmap megagraphs (this is the hot path of the
+    batched distance/time tables).
+    """
+    t = jnp.asarray(t)
+    func = lambda tt: fun(None, tt, *args)
+    mid = (t[:-1] + t[1:]) / 2.0
+    f_ends = func(t)
+    f_mid = func(mid)
+    h = jnp.diff(t)
+    inc = h / 6.0 * (f_ends[:-1] + 4.0 * f_mid + f_ends[1:])
+    y0 = jnp.asarray(y0, dtype=jnp.result_type(float, t.dtype))
+    zero = jnp.zeros((1,) + inc.shape[1:], dtype=inc.dtype)
+    return y0 + jnp.concatenate([zero, jnp.cumsum(inc, axis=0)], axis=0)
