@@ -123,3 +123,24 @@ def test_seed_helpers_deterministic():
 if __name__ == '__main__':
     import sys
     sys.exit(pytest.main([__file__, '-q']))
+
+
+def test_sharded_batched_nonlinear_pipeline():
+    """The batched (single-FFT) pipeline with the halofit transform runs
+    dp-sharded over the virtual mesh and stays finite."""
+    import numpy as np
+    from cosmoprimo_tpu.parallel import make_mesh, shard_array
+    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline_batched
+
+    devices = jax.devices()
+    mesh = make_mesh(devices)
+    fn, k, s = make_pk_to_xi_pipeline_batched(nk=128, non_linear='halofit')
+    batch = 2 * len(devices)
+    rng = np.random.default_rng(3)
+    args = [shard_array(jnp.asarray(v), mesh, axis='dp') for v in
+            (rng.uniform(0.11, 0.13, batch), rng.uniform(0.021, 0.023, batch),
+             rng.uniform(0.65, 0.70, batch), rng.uniform(0.94, 0.98, batch),
+             rng.uniform(2.9, 3.1, batch))]
+    xi, chi, s8 = jax.jit(fn)(*args)
+    assert xi.shape[0] == batch
+    assert np.isfinite(np.asarray(xi)).all() and np.isfinite(np.asarray(s8)).all()
