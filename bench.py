@@ -74,29 +74,9 @@ def main():
     # on TPU the fused Pallas double-single kernel handles the transform
     # (~16% over the XLA f64 pair-FFT), with automatic fallback if the
     # toolchain rejects it
-    want_engine = os.environ.get('BENCH_FFT_ENGINE',
-                                 'pallas' if jax.default_backend() == 'tpu' else 'auto')
-
-    def build(engine):
-        fn, k, s = make_pk_to_xi_pipeline_batched(nk=1024, fft_engine=engine)
-
-        @jax.jit
-        def checksum(*args):
-            xi, chi, s8 = fn(*args)
-            # on-device reduction: an 8-byte readback bounds the full compute
-            return jnp.sum(xi) + jnp.sum(chi) + jnp.sum(s8)
-
-        return fn, checksum
-
     args_list = [make_args(n, seed=i) for i in range(nrep + 1)]
-    fft_engine = want_engine
-    try:
-        fn, batched_checksum = build(fft_engine)
-        float(batched_checksum(*args_list[0]))  # compile + warm
-    except Exception:
-        fft_engine = 'auto'
-        fn, batched_checksum = build(fft_engine)
-        float(batched_checksum(*args_list[0]))
+    fn, batched_checksum, fft_engine = _build_batched_checksum(
+        nk=1024, non_linear=False, warm_args=args_list[0])
     best = np.inf
     for i in range(1, nrep + 1):
         t0 = time.time()
@@ -106,7 +86,8 @@ def main():
 
     # ---- CPU f64 path: accuracy cross-check + XLA-CPU rate (the Pallas
     # kernel is TPU-only, so the CPU reference runs the XLA engine)
-    fn_cpu, _ = build('auto')
+    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline_batched
+    fn_cpu, _, _ = make_pk_to_xi_pipeline_batched(nk=1024, fft_engine='auto')
     cpu = jax.devices('cpu')[0]
     args_small = make_args(n_cpu, seed=1)
     args_cpu = jax.tree_util.tree_map(lambda a: jax.device_put(a, cpu), args_small)
@@ -149,8 +130,9 @@ def main():
 
 
 def _build_batched_checksum(nk, non_linear, warm_args):
-    """Jitted checksum over the batched pipeline, preferring the fused
-    Pallas FFT on TPU with automatic fallback to the XLA engine."""
+    """(fn, jitted checksum, engine) over the batched pipeline, honoring
+    BENCH_FFT_ENGINE and preferring the fused Pallas FFT on TPU with
+    automatic fallback to the XLA engine."""
     from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline_batched
 
     def build(engine):
@@ -159,18 +141,21 @@ def _build_batched_checksum(nk, non_linear, warm_args):
         @jax.jit
         def checksum(*args):
             xi, chi, s8 = fn(*args)
+            # on-device reduction: an 8-byte readback bounds the full compute
             return jnp.sum(xi) + jnp.sum(chi) + jnp.sum(s8)
 
-        return checksum
+        return fn, checksum
 
-    engine = 'pallas' if jax.default_backend() == 'tpu' else 'auto'
+    engine = os.environ.get('BENCH_FFT_ENGINE',
+                            'pallas' if jax.default_backend() == 'tpu' else 'auto')
     try:
-        checksum = build(engine)
+        fn, checksum = build(engine)
         float(checksum(*warm_args))  # compile + warm
     except Exception:
-        checksum = build('auto')
+        engine = 'auto'
+        fn, checksum = build(engine)
         float(checksum(*warm_args))
-    return checksum
+    return fn, checksum, engine
 
 
 def bench_halofit(baseline_rate, nrep=3):
@@ -178,7 +163,7 @@ def bench_halofit(baseline_rate, nrep=3):
     workload with the halo-fit transform inserted per cosmology."""
     n = int(os.environ.get('BENCH_N_NL', '4096'))
     args_list = [make_args(n, seed=10 + i) for i in range(nrep + 1)]
-    checksum = _build_batched_checksum(nk=1024, non_linear='halofit', warm_args=args_list[0])
+    _, checksum, _ = _build_batched_checksum(nk=1024, non_linear='halofit', warm_args=args_list[0])
     best = np.inf
     for i in range(1, nrep + 1):
         t0 = time.time()
@@ -201,7 +186,7 @@ def bench_hmcode(baseline_rate, nrep=3):
     through CLASS/CAMB Fortran/C."""
     n = int(os.environ.get('BENCH_N_HM', '512'))
     args_list = [make_args(n, seed=20 + i) for i in range(nrep + 1)]
-    checksum = _build_batched_checksum(nk=512, non_linear='mead', warm_args=args_list[0])
+    _, checksum, _ = _build_batched_checksum(nk=512, non_linear='mead', warm_args=args_list[0])
     best = np.inf
     for i in range(1, nrep + 1):
         t0 = time.time()

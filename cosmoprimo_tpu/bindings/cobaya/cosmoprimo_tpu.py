@@ -45,10 +45,21 @@ class _ZPool1D(object):
         self.values = np.unique(np.concatenate(
             [self.values, np.atleast_1d(np.asarray(values, dtype=np.float64))]))
 
-    def find_indices(self, values):
-        """Indices of ``values`` inside the pool (exact matches)."""
-        idx = np.searchsorted(self.values, np.asarray(values, dtype=np.float64))
-        return np.clip(idx, 0, len(self.values) - 1)
+    def find_indices(self, values, rtol=1e-10):
+        """Indices of ``values`` inside the pool; loud error when a value
+        was never registered (silent nearest-neighbor lookup would bias a
+        likelihood with no warning)."""
+        values = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        idx = np.clip(np.searchsorted(self.values, values), 0, len(self.values) - 1)
+        left = np.clip(idx - 1, 0, len(self.values) - 1)
+        use_left = np.abs(self.values[left] - values) < np.abs(self.values[idx] - values)
+        idx = np.where(use_left, left, idx)
+        matched = np.isclose(self.values[idx], values, rtol=rtol, atol=1e-12)
+        if not matched.all():
+            missing = values[~matched]
+            raise ValueError(f'redshift(s) {missing} were not declared in must_provide '
+                             f'(pool: {self.values})')
+        return idx
 
 
 class _ZPool2D(object):
@@ -389,6 +400,10 @@ class CosmoprimoTPU(BoltzmannBase):
         return self._postprocess_cl(dict(cls), ell_factor=ell_factor, units=units)
 
     def _postprocess_cl(self, cls, ell_factor=False, units='FIRASmuK2'):
+        """Unit/ell-factor conventions of the reference binding
+        (cosmoprimo.py:345-363): every spectrum except the dimensionless
+        'pp' gets the squared temperature factor; 'pp' never gets units and
+        gets [l(l+1)]^2/(2pi) when ell_factor."""
         ell = np.asarray(cls['ell'])
         factor = 1.0
         if units == 'FIRASmuK2':
@@ -399,8 +414,8 @@ class CosmoprimoTPU(BoltzmannBase):
         for name, value in cls.items():
             if name == 'ell':
                 continue
-            if name == 'pp' and ell_factor:
-                out[name] = np.asarray(value) * (ellf ** 2 * (2 * np.pi) if np.ndim(ellf) else 1.0)
+            if name == 'pp':
+                out[name] = np.asarray(value) * (ellf ** 2 * (2 * np.pi) if ell_factor else 1.0)
             else:
                 out[name] = np.asarray(value) * factor * ellf
         return out

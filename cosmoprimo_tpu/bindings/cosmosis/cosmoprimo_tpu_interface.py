@@ -67,7 +67,10 @@ def get_inputs(block, config):
         value = get(cos, default)
         if value is not None:
             params[our] = value
-    # neutrinos (reference:42-50)
+    # neutrinos (reference:42-50). cosmosis 'mnu' is the TOTAL mass (CAMB
+    # convention): split it over the species — the reference replicates the
+    # total per species (cosmoprimo_interface.py:50), multiplying
+    # Sum m_nu by num_massive_neutrinos; we keep the physical convention.
     nmassive = get('num_massive_neutrinos')
     m_ncdm = get('mnu', 0.06)
     if nmassive is None or nmassive == 3:
@@ -76,7 +79,7 @@ def get_inputs(block, config):
             params['neutrino_hierarchy'] = hierarchy
         params['m_ncdm'] = m_ncdm
     else:
-        params['m_ncdm'] = [m_ncdm] * int(nmassive)
+        params['m_ncdm'] = [m_ncdm / int(nmassive)] * int(nmassive)
     # optional parameters (reference:67-74)
     optional = {'alpha_s': (cp, 'nrun'), 'w0_fld': (cp, 'w'), 'wa_fld': (cp, 'wa'),
                 'cs2_fld': (cp, 'cs2_de'), 'A_L': (cp, 'a_lens'),

@@ -25,6 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..interpolator import PowerSpectrumInterpolator2D
+from ..ops.quadrature import trapezoid_weights
 from ..ops.spline import natural_cubic_coeffs
 
 
@@ -36,9 +37,7 @@ def sigma_gauss2(k, pk_kz, R):
     """
     k = jnp.asarray(k)
     pk_kz = jnp.asarray(pk_kz)
-    lnk = jnp.log(k)
-    dlnk = jnp.diff(lnk)
-    w = jnp.concatenate([dlnk[:1] / 2, (dlnk[:-1] + dlnk[1:]) / 2, dlnk[-1:] / 2])
+    w = trapezoid_weights(jnp.log(k))
     delta2 = k[:, None] ** 3 * pk_kz / (2 * np.pi ** 2)  # (nk, nz)
     window = jnp.exp(-(k[None, :] * R[:, None]) ** 2) * w[None, :]  # (nR, nk)
     return window @ delta2

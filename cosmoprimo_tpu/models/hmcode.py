@@ -33,7 +33,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..interpolator import PowerSpectrumInterpolator2D
+from ..interpolator import PowerSpectrumInterpolator2D, kernel_tophat2
+from ..ops.quadrature import trapezoid_weights
 from ..ops.spline import cubic_eval, natural_cubic_coeffs
 from ..ops.special import sici
 from .halofit import _nonlinear_scale
@@ -55,15 +56,6 @@ _ALPHA_A, _ALPHA_B = 1.875, 1.603       # transition smoothing alpha
 _FORM_FRAC = 0.01                       # Bullock formation mass fraction
 
 
-def kernel_tophat(x):
-    """Tophat window W(x) = 3 (sin x - x cos x)/x^3, Maclaurin-stabilized."""
-    x2 = x * x
-    taylor = 1.0 - x2 / 10.0 + x2 * x2 / 280.0
-    safe = jnp.where(x > 0.01, x, 1.0)
-    exact = 3.0 * (jnp.sin(safe) - safe * jnp.cos(safe)) / safe ** 3
-    return jnp.where(x > 0.01, exact, taylor)
-
-
 def sigma_tophat2(k, pk_kz, R):
     """Tophat variance sigma^2(R, z) = int dlnk Delta^2_L(k, z) W^2(kR).
 
@@ -71,11 +63,9 @@ def sigma_tophat2(k, pk_kz, R):
     """
     k = jnp.asarray(k)
     pk_kz = jnp.asarray(pk_kz)
-    lnk = jnp.log(k)
-    dlnk = jnp.diff(lnk)
-    w = jnp.concatenate([dlnk[:1] / 2, (dlnk[:-1] + dlnk[1:]) / 2, dlnk[-1:] / 2])
+    w = trapezoid_weights(jnp.log(k))
     delta2 = k[:, None] ** 3 * pk_kz / (2 * np.pi ** 2)
-    window = kernel_tophat(k[None, :] * R[:, None]) ** 2 * w[None, :]
+    window = kernel_tophat2(k[None, :] * R[:, None]) * w[None, :]
     return window @ delta2
 
 
@@ -83,9 +73,7 @@ def sigma_v2(k, pk_kz):
     """1D displacement variance sigma_v^2 = (1/3) int dlnk Delta^2(k)/k^2,
     (nz,)."""
     k = jnp.asarray(k)
-    lnk = jnp.log(k)
-    dlnk = jnp.diff(lnk)
-    w = jnp.concatenate([dlnk[:1] / 2, (dlnk[:-1] + dlnk[1:]) / 2, dlnk[-1:] / 2])
+    w = trapezoid_weights(jnp.log(k))
     delta2 = k[:, None] ** 3 * jnp.asarray(pk_kz) / (2 * np.pi ** 2)
     return (w[:, None] * delta2 / k[:, None] ** 2).sum(axis=0) / 3.0
 

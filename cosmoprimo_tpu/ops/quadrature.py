@@ -126,3 +126,12 @@ def gauss_legendre(fun, a, b, n=128):
 
 
 fixed_quad_legendre = gauss_legendre
+
+
+def trapezoid_weights(x):
+    """Composite-trapezoid weights over the (1D, increasing) grid ``x``:
+    int f dx ~= sum w_i f(x_i). Shared by the sigma^2 / sigma_v^2 matmul
+    integrals (models/halofit.py, models/hmcode.py)."""
+    import jax.numpy as jnp
+    dx = jnp.diff(jnp.asarray(x))
+    return jnp.concatenate([dx[:1] / 2, (dx[:-1] + dx[1:]) / 2, dx[-1:] / 2])

@@ -61,7 +61,11 @@ def bisect(f, limits, flimits=None, xtol=1e-6, maxiter=100, method='ridders'):
     def error(*args):
         raise ValueError('f(a), f(b) are not of different signs')
 
-    sign = jnp.where((fa < 0) & (fb >= 0), 1, jnp.where((fa > 0) & (fb <= 0), -1, 0))
+    sign = jnp.where((fa < 0) & (fb > 0), 1, jnp.where((fa > 0) & (fb < 0), -1, 0))
+    # an endpoint sitting exactly on the root is a degenerate (but valid)
+    # bracket: the iterations assume strict signs, so short-circuit it
+    endpoint_root = jnp.where(fa == 0, a, jnp.where(fb == 0, b, jnp.nan))
+    has_endpoint_root = (fa == 0) | (fb == 0)
 
     if method == 'ridders':
 
@@ -101,4 +105,5 @@ def bisect(f, limits, flimits=None, xtol=1e-6, maxiter=100, method='ridders'):
         return jnp.abs(st[1]) > xtol
 
     new = for_cond_loop(0, maxiter, cond_fun, body_fun, (state, 1.0 + xtol, (a + b) / 2.0))[-1]
-    return exception_or_nan(new, sign == 0, error)
+    new = jnp.where(has_endpoint_root, endpoint_root, new)
+    return exception_or_nan(new, (sign == 0) & ~has_endpoint_root, error)

@@ -130,11 +130,17 @@ class JaxDistributedComm(object):
         """Point-to-point over the broadcast collective: all ranks must call
         sendrecv-style (source calls send, every other rank calls recv with
         the matching source) — same collective-participation requirement as
-        the underlying DCN primitives."""
-        self.bcast(value, root=self.rank)
+        the underlying DCN primitives. The (dest, tag) metadata rides along
+        so a mismatched pairing fails loudly instead of cross-delivering."""
+        self.bcast((dest, tag, value), root=self.rank)
 
     def recv(self, source=0, tag=0):
-        return self.bcast(None, root=source)
+        dest, sent_tag, value = self.bcast(None, root=source)
+        if dest != self.rank or sent_tag != tag:
+            raise RuntimeError(
+                f'mismatched point-to-point pairing: rank {source} sent to rank {dest} '
+                f'with tag {sent_tag}, but rank {self.rank} expected tag {tag}')
+        return value
 
     def barrier(self):
         from jax.experimental import multihost_utils

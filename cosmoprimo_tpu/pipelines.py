@@ -15,6 +15,33 @@ from .cosmology import Cosmology
 from .fftlog import PowerToCorrelation
 
 
+
+def apply_non_linear(non_linear, cosmo, ba, k, pkz, z, omega_b, h, n_s):
+    """Shared non-linear dispatch for the pipeline factories: push the
+    linear P(k, z) table through the native halofit or HMcode-2020
+    transform (models/halofit.py, models/hmcode.py)."""
+    if not non_linear:
+        return pkz
+    zz = jnp.atleast_1d(z)
+    if non_linear in ('halofit', 'takahashi', True):
+        from .models.halofit import halofit
+        return halofit(k, pkz, ba.Omega_m(zz), ba.Omega_de(zz),
+                       cosmo['w0_fld'] + cosmo['wa_fld'] * zz / (1.0 + zz),
+                       fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
+                       Omega_m0=cosmo['Omega_m'])
+    if non_linear in ('mead', 'hmcode'):
+        from . import constants
+        from .models.hmcode import hmcode2020
+        a_grid = jnp.asarray(np.geomspace(1e-3, 1.0, 128))
+        return hmcode2020(k, pkz, pkz, ba.Omega_m(zz),
+                          fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
+                          omega_m=cosmo['Omega_m'] * h ** 2, omega_b=omega_b,
+                          h=h, theta_cmb=constants.TCMB / 2.7, ns=n_s,
+                          growth_a=a_grid, growth_g=ba.growth_factor(1.0 / a_grid - 1.0),
+                          growth_z=ba.growth_factor(zz))
+    raise ValueError(f'unknown non_linear {non_linear!r}')
+
+
 def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu', z=jnp.array([0.0]),
                            fft_engine='auto', non_linear=False):
     """Build (fn, k, s): ``fn(omega_cdm, omega_b, h, n_s, logA)`` returns
@@ -52,26 +79,7 @@ def make_pk_to_xi_pipeline(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenstein_hu',
         # sigma8 is defined on the LINEAR spectrum: reuse the z = 0 column
         # before any non-linear transform
         pk0 = pkz[:, _iz0] if _z0_in_grid else pk(k, jnp.array([0.0]))[:, 0]
-        if non_linear in ('halofit', 'takahashi', True):
-            from .models.halofit import halofit
-            zz = jnp.atleast_1d(z)
-            pkz = halofit(k, pkz, ba.Omega_m(zz), ba.Omega_de(zz),
-                          cosmo['w0_fld'] + cosmo['wa_fld'] * zz / (1.0 + zz),
-                          fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
-                          Omega_m0=cosmo['Omega_m'])
-        elif non_linear in ('mead', 'hmcode'):
-            from . import constants
-            from .models.hmcode import hmcode2020
-            zz = jnp.atleast_1d(z)
-            a_grid = jnp.asarray(np.geomspace(1e-3, 1.0, 128))
-            pkz = hmcode2020(k, pkz, pkz, ba.Omega_m(zz),
-                             fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
-                             omega_m=cosmo['Omega_m'] * h ** 2, omega_b=omega_b,
-                             h=h, theta_cmb=constants.TCMB / 2.7, ns=n_s,
-                             growth_a=a_grid, growth_g=ba.growth_factor(1.0 / a_grid - 1.0),
-                             growth_z=ba.growth_factor(zz))
-        elif non_linear:
-            raise ValueError(f'unknown non_linear {non_linear!r}')
+        pkz = apply_non_linear(non_linear, cosmo, ba, k, pkz, z, omega_b, h, n_s)
         s, xi = p2c(pkz.T)                                   # (nz, nk)
         chi = ba.comoving_radial_distance(zq)
         sigma8 = jnp.sqrt(simpson(pk0 * _w8, x=_lnk) / (2.0 * jnp.pi ** 2))
@@ -112,25 +120,7 @@ def make_pk_to_xi_pipeline_batched(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenst
         pkz = pk(k, z, ignore_growth=False)          # (nk, nz)
         ba = cosmo.get_background()
         sigma8 = pk.sigma8_z(0.0, method='simpson')  # linear by definition
-        zz = jnp.atleast_1d(z)
-        if non_linear in ('halofit', 'takahashi', True):
-            from .models.halofit import halofit
-            pkz = halofit(k, pkz, ba.Omega_m(zz), ba.Omega_de(zz),
-                          cosmo['w0_fld'] + cosmo['wa_fld'] * zz / (1.0 + zz),
-                          fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
-                          Omega_m0=cosmo['Omega_m'])
-        elif non_linear in ('mead', 'hmcode'):
-            from . import constants
-            from .models.hmcode import hmcode2020
-            a_grid = jnp.asarray(np.geomspace(1e-3, 1.0, 128))
-            pkz = hmcode2020(k, pkz, pkz, ba.Omega_m(zz),
-                             fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
-                             omega_m=cosmo['Omega_m'] * h ** 2, omega_b=omega_b,
-                             h=h, theta_cmb=constants.TCMB / 2.7, ns=n_s,
-                             growth_a=a_grid, growth_g=ba.growth_factor(1.0 / a_grid - 1.0),
-                             growth_z=ba.growth_factor(zz))
-        elif non_linear:
-            raise ValueError(f'unknown non_linear {non_linear!r}')
+        pkz = apply_non_linear(non_linear, cosmo, ba, k, pkz, z, omega_b, h, n_s)
         chi = ba.comoving_radial_distance(zq)
         return pkz, chi, sigma8
 

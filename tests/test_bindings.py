@@ -264,3 +264,49 @@ def test_cobaya_must_provide_cl_and_derived(cosmo):
 if __name__ == '__main__':
     import sys as _sys
     _sys.exit(pytest.main([__file__, '-q']))
+
+
+def test_cobaya_cl_pp_units(cosmo):
+    """The dimensionless lensing-potential 'pp' never gets the muK^2 unit
+    factor (review finding), matching the reference binding."""
+    theory = _fresh_theory(cosmo)
+    ell = np.arange(10)
+    cls = {'ell': ell, 'tt': np.ones(10), 'pp': np.ones(10), 'tp': np.ones(10)}
+    theory.current_state = {'cosmo': cosmo}
+    out = theory._postprocess_cl(dict(cls), ell_factor=False, units='FIRASmuK2')
+    T = float(np.asarray(cosmo['T_cmb'])) * 1e6
+    np.testing.assert_allclose(out['tt'], T ** 2)
+    np.testing.assert_allclose(out['pp'], 1.0)        # no unit factor
+    np.testing.assert_allclose(out['tp'], T ** 2)     # reference convention
+    out2 = theory._postprocess_cl(dict(cls), ell_factor=True, units='1')
+    ellf = ell * (ell + 1) / (2 * np.pi)
+    np.testing.assert_allclose(out2['pp'], ellf ** 2 * (2 * np.pi))
+
+
+def test_cobaya_zpool_strict_lookup(cosmo):
+    """Requesting a redshift never declared in must_provide fails loudly
+    instead of returning a neighboring pool value (review finding)."""
+    from cosmoprimo_tpu.bindings.cobaya.cosmoprimo_tpu import _ZPool1D
+    pool = _ZPool1D([0.3, 0.8, 1.4])
+    np.testing.assert_array_equal(pool.find_indices([0.8, 0.3]), [1, 0])
+    with pytest.raises(ValueError):
+        pool.find_indices([0.81])
+
+
+def test_cosmosis_mnu_total_split():
+    """cosmosis 'mnu' is the total neutrino mass: split over species
+    (review finding; the reference multiplies it by num_massive_neutrinos)."""
+    from cosmoprimo_tpu.bindings.cosmosis import cosmoprimo_tpu_interface as iface
+    names = _install_fake_cosmosis()
+    try:
+        block = _FakeBlock()
+        cp = names.cosmological_parameters
+        block[cp, 'h0'] = 0.68
+        block[cp, 'mnu'] = 0.06
+        block[cp, 'num_massive_neutrinos'] = 2
+        params = iface.get_inputs(block, {'harmonic': False, 'fourier': False,
+                                          'lensing': True, 'nonlinear': ''})
+        np.testing.assert_allclose(params['m_ncdm'], [0.03, 0.03])
+    finally:
+        sys.modules.pop('cosmosis', None)
+        sys.modules.pop('cosmosis.datablock', None)

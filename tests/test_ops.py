@@ -206,3 +206,14 @@ def test_spline_grad_wrt_values():
 
     g = jax.grad(loss)(jnp.sin(3 * x))
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
+def test_bisect_endpoint_roots():
+    """A bracket whose endpoint IS the root converges to it (review
+    finding: f(a) == 0 used to be rejected as a sign error)."""
+    from cosmoprimo_tpu.ops import bisect
+    assert abs(float(bisect(lambda v: v - 1.0, limits=(1.0, 2.0))) - 1.0) < 1e-6
+    assert abs(float(bisect(lambda v: v - 2.0, limits=(1.0, 2.0))) - 2.0) < 1e-6
+    assert abs(float(bisect(lambda v: 1.0 - v, limits=(1.0, 2.0))) - 1.0) < 1e-6
+    with pytest.raises(ValueError):
+        bisect(lambda v: v + 5.0, limits=(1.0, 2.0))
