@@ -184,9 +184,9 @@ def bench_hmcode(baseline_rate, nrep=3):
     """HMcode-2020 halo-model pk->xi pipeline rate (full Sheth-Tormen + NFW
     one-halo integral per cosmology) — capability the reference only has
     through CLASS/CAMB Fortran/C."""
-    n = int(os.environ.get('BENCH_N_HM', '512'))
+    n = int(os.environ.get('BENCH_N_HM', '256'))
     args_list = [make_args(n, seed=20 + i) for i in range(nrep + 1)]
-    _, checksum, _ = _build_batched_checksum(nk=512, non_linear='mead', warm_args=args_list[0])
+    _, checksum, _ = _build_batched_checksum(nk=384, non_linear='mead', warm_args=args_list[0])
     best = np.inf
     for i in range(1, nrep + 1):
         t0 = time.time()
