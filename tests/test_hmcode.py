@@ -157,3 +157,27 @@ def test_one_halo_subgrid_accuracy(cosmo):
                                     nk_one_halo=10 ** 9, **args))
     mask = k < 10.0
     assert np.abs(p_sub[mask] / p_dense[mask] - 1).max() < 1e-3
+
+
+def test_nonlinear_snapshot_regression(cosmo):
+    """SELF-golden snapshots of the native halofit and HMcode-2020 outputs
+    at a DESI-like cosmology (NOT an external oracle — none exists in this
+    zero-egress image; these pin today's validated implementation so future
+    refactors cannot silently drift it)."""
+    fo = cosmo.get_fourier()
+    z = np.array([0.0, 1.0])
+    k = np.array([0.05, 0.2, 1.0, 5.0])
+    hf = fo.pk_interpolator(non_linear='halofit', z=z)
+    hm = fo.pk_interpolator(non_linear='mead', z=z)
+    np.testing.assert_allclose(
+        np.asarray(hf(k, 0.0)),
+        [12471.64695057, 2436.76834448, 424.1310887, 39.98957694], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(hf(k, 1.0)),
+        [4667.00926081, 803.12040248, 84.70172984, 9.68778571], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(hm(k, 0.0)),
+        [12300.40312522, 2152.48480799, 301.48566434, 28.71907459], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(hm(k, 1.0)),
+        [4685.19776702, 772.73499318, 65.27025525, 6.70826302], rtol=1e-5)
