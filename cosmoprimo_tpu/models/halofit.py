@@ -164,5 +164,8 @@ def halofit_pk_interpolator(pk2d, background, w0=-1.0, wa=0.0, fnu=0.0, **kwargs
     wz = w0 + wa * zz / (1.0 + zz)
     pk_nl = halofit(k, pk_lin, Omega_mz, Omega_dez, wz, fnu=fnu,
                     Omega_m0=background.Omega_m(0.0))
+    if zz.shape[0] == 1:  # single-z table: serve it flat in z
+        from jax.tree_util import Partial
+        kwargs.setdefault('growth_factor_sq', Partial(jnp.ones_like))
     return PowerSpectrumInterpolator2D(k, zz, pk_nl, extrap_kmin=pk2d.extrap_kmin,
                                        extrap_kmax=pk2d.extrap_kmax, **kwargs)

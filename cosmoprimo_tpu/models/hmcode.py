@@ -282,5 +282,8 @@ def hmcode_pk_interpolator(pk2d_m, background, cosmo_params, pk2d_cb=None, **kwa
         ns=cosmo_params.get('n_s', 0.96),
         growth_a=a_grid, growth_g=growth_g, growth_z=growth_z,
         dolag_ratio=cosmo_params.get('dolag_ratio', 1.0))
+    if zz.shape[0] == 1:  # single-z table: serve it flat in z
+        from jax.tree_util import Partial
+        kwargs.setdefault('growth_factor_sq', Partial(jnp.ones_like))
     return PowerSpectrumInterpolator2D(k, zz, pk_nl, extrap_kmin=pk2d_m.extrap_kmin,
                                        extrap_kmax=pk2d_m.extrap_kmax, **kwargs)

@@ -181,3 +181,19 @@ def test_nonlinear_snapshot_regression(cosmo):
     np.testing.assert_allclose(
         np.asarray(hm(k, 1.0)),
         [4685.19776702, 772.73499318, 65.27025525, 6.70826302], rtol=1e-5)
+
+
+def test_hmcode_variants_engine_cb():
+    """HMcode on the massive-neutrino variants engine uses the distinct cb
+    field for sigma(R) and runs finite; massive neutrinos suppress the
+    non-linear power relative to the massless case."""
+    z = np.array([0.0])
+    k = np.geomspace(0.05, 5.0, 16)
+    base = dict(omega_cdm=0.12, omega_b=0.02237, h=0.6736, A_s=2.083e-9, n_s=0.9649,
+                engine='eisenstein_hu_nowiggle_variants')
+    c0 = Cosmology(**base)
+    cnu = Cosmology(m_ncdm=0.3, **base)
+    p0 = np.asarray(c0.get_fourier().pk_interpolator(non_linear='mead', z=z)(k, 0.0))
+    pnu = np.asarray(cnu.get_fourier().pk_interpolator(non_linear='mead', z=z)(k, 0.0))
+    assert np.isfinite(p0).all() and np.isfinite(pnu).all()
+    assert (pnu < p0).all()
