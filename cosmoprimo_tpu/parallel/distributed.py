@@ -80,6 +80,7 @@ class JaxDistributedComm(object):
     def __init__(self):
         self.rank = jax.process_index()
         self.size = jax.process_count()
+        self._mailbox = {}  # size-1 local p2p queue (tag -> values)
 
     def Get_rank(self):
         return self.rank
@@ -131,11 +132,21 @@ class JaxDistributedComm(object):
         sendrecv-style (source calls send, every other rank calls recv with
         the matching source) — same collective-participation requirement as
         the underlying DCN primitives. The (dest, tag) metadata rides along
-        so a mismatched pairing fails loudly instead of cross-delivering."""
+        so a mismatched pairing fails loudly instead of cross-delivering.
+        At size 1, send/recv degrade to a local mailbox (like FakeComm)."""
+        if self.size == 1:
+            self._mailbox.setdefault(tag, []).append(value)
+            return
         self.bcast((dest, tag, value), root=self.rank)
 
     def recv(self, source=0, tag=0):
-        dest, sent_tag, value = self.bcast(None, root=source)
+        if self.size == 1:
+            box = getattr(self, '_mailbox', {}).get(tag)
+            return box.pop(0) if box else None
+        packet = self.bcast(None, root=source)
+        if packet is None:  # source broadcast nothing (no paired send)
+            return None
+        dest, sent_tag, value = packet
         if dest != self.rank or sent_tag != tag:
             raise RuntimeError(
                 f'mismatched point-to-point pairing: rank {source} sent to rank {dest} '

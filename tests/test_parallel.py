@@ -144,3 +144,16 @@ def test_sharded_batched_nonlinear_pipeline():
     xi, chi, s8 = jax.jit(fn)(*args)
     assert xi.shape[0] == batch
     assert np.isfinite(np.asarray(xi)).all() and np.isfinite(np.asarray(s8)).all()
+
+
+def test_jax_distributed_comm_p2p_mailbox():
+    """Size-1 p2p send/recv round-trips through the local mailbox (tags
+    honored); an empty mailbox recv returns None."""
+    from cosmoprimo_tpu.parallel.distributed import JaxDistributedComm
+    comm = JaxDistributedComm()
+    comm.send({'x': 1}, dest=0, tag=7)
+    comm.send('second', dest=0, tag=7)
+    assert comm.recv(source=0, tag=7) == {'x': 1}
+    assert comm.recv(source=0, tag=7) == 'second'
+    assert comm.recv(source=0, tag=7) is None
+    assert comm.recv(source=0, tag=3) is None
