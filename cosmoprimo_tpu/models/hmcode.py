@@ -274,6 +274,21 @@ def hmcode_pk_interpolator(pk2d_m, background, cosmo_params, pk2d_cb=None, **kwa
     a_grid = jnp.asarray(np.geomspace(1e-3, 1.0, 128))
     growth_g = background.growth_factor(1.0 / a_grid - 1.0)
     growth_z = background.growth_factor(zz)
+    if 'dolag_ratio' not in cosmo_params:
+        # Dolag et al. (2004) dark-energy concentration correction:
+        # (g_DE / g_LCDM)(z -> inf) ** 1.5 with today-normalized growths,
+        # computed against a LambdaCDM analog (same densities, w = -1);
+        # exactly 1 for LCDM inputs since the backgrounds coincide
+        import copy
+        ba_l = copy.copy(background)
+        ba_l._w0_fld = jnp.asarray(-1.0, dtype=jnp.float64)
+        ba_l._wa_fld = jnp.asarray(0.0, dtype=jnp.float64)
+        ba_l._cache = {name: value for name, value in background._cache.items()
+                       if 'growth' not in name}
+        zinf = 100.0
+        cosmo_params = dict(cosmo_params)
+        cosmo_params['dolag_ratio'] = (background.growth_factor(zinf)
+                                       / ba_l.growth_factor(zinf)) ** 1.5
     pk_nl = hmcode2020(
         k, pk_cb, pk_m, Omega_mz,
         fnu=cosmo_params.get('fnu', 0.0),
