@@ -121,6 +121,14 @@ def camb_nu_degeneracies(T_ncdm_over_cmb, m_ncdm):
 
 
 
+def background_z_grid():
+    """Dense z-grid for importing host background tables: linear at low z,
+    log-spaced up to z ~ 1e4 (covers recombination-era sound horizons).
+    Shared by the CLASS and CAMB engine families."""
+    return np.concatenate([np.linspace(0.0, 0.3, 30)[:-1],
+                           1.0 / np.geomspace(1e-4, 1.0 / 1.3, 160)[::-1] - 1.0])
+
+
 def build_task_dependency(tasks):
     """Complete a CAMB task list with its dependencies (reference
     camb.py:18-44)."""

@@ -21,6 +21,7 @@ Reference behaviors matched here that go beyond variable renaming:
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .. import constants, utils
@@ -28,7 +29,7 @@ from ..cosmology import (BaseEngine, BaseSection, CosmologyComputationError, Cos
                          DefaultBackground, register_engine, register_section)
 from ..interpolator import PowerSpectrumInterpolator1D, PowerSpectrumInterpolator2D
 from ..ops import Interpolator1D, flatarray
-from .boltzmann import build_task_dependency, camb_nu_degeneracies, translate_camb_params
+from .boltzmann import background_z_grid, build_task_dependency, camb_nu_degeneracies, translate_camb_params
 
 
 @register_engine
@@ -111,6 +112,9 @@ class CambEngine(BaseEngine):
                 self.tr = camb.get_transfer_functions(self._camb_params)
                 self.ready.tr = True
             if 'harmonic' in tasks and not self.ready.hr:
+                # reference parity (camb.py:221-226): requesting harmonic
+                # invalidates the fourier product so calc_power_spectra
+                # re-runs with the CMB outputs enabled
                 self.ready.hr = True
                 self.ready.fo = False
             if 'lensing' in tasks and not self.ready.le:
@@ -320,9 +324,21 @@ class Background(DefaultBackground):
             return np.asarray(dens) * self._RH0_ * (1.0 + np.asarray(z))
         return fn
 
+    @property
+    def _closed_form(self):
+        """Closed-form twin (DefaultBackground over the same parameters) for
+        evaluations under a trace, where the host code cannot be called —
+        e.g. the growth ODE's lax.scan body touching Omega_m/Omega_de. For
+        standard CAMB the host densities equal the closed forms."""
+        if '_closed_twin' not in self.__dict__:
+            self.__dict__['_closed_twin'] = DefaultBackground(self._engine)
+        return self.__dict__['_closed_twin']
+
     def _host_eval(self, name, fn, z):
-        """Evaluate a host callable on the (host) z values, returned as a
-        device array (sections serve jnp arrays)."""
+        """Evaluate a host callable on concrete z values (device array out);
+        traced z falls back to the closed-form twin."""
+        if isinstance(z, jax.core.Tracer):
+            return getattr(self._closed_form, name)(z)
         return jnp.asarray(fn(np.asarray(z, dtype=np.float64)))
 
     @flatarray()
@@ -397,8 +413,7 @@ class Background(DefaultBackground):
 
     def _chi_table(self):
         if 'comoving_radial_distance' not in self._cache:
-            zc = np.concatenate([np.linspace(0.0, 0.3, 30)[:-1],
-                                 1.0 / np.geomspace(1e-4, 1.0 / 1.3, 160)[::-1] - 1.0])
+            zc = background_z_grid()
             chi = np.asarray(self._ba.comoving_radial_distance(zc)) * float(np.asarray(self.h))
             self._cache['comoving_radial_distance'] = Interpolator1D(zc, jnp.asarray(chi), assume_sorted=True)
         return self._cache['comoving_radial_distance']
@@ -431,7 +446,10 @@ class Thermodynamics(BaseSection):
         self._derived = derived
         self._rs_drag = derived['rdrag'] * self._h
         self._z_drag = derived['zdrag']
-        self._tau_reio = engine._camb_params.Reion.optical_depth
+        # Reion.optical_depth is only populated when the cosmology was
+        # parameterized by tau; under z_reio it stays at the field default
+        tau = engine._camb_params.Reion.optical_depth
+        self._tau_reio = tau if tau else engine.get('tau_reio', None)
         self._z_reio = engine._camb_params.get_zrei() if hasattr(engine._camb_params, 'get_zrei') else None
         self._YHe = getattr(engine._camb_params, 'YHe', None)
 
@@ -699,17 +717,27 @@ class Fourier(BaseSection):
 
 
 class ISiTIDEBackground(Background):
-    """IDE growth rates from the modified fortran (reference isitide.py:15-27)."""
+    """IDE growth rates from the modified fortran (reference isitide.py:15-27).
+    The host growth is D(0)=1-normalized; ``znorm`` recovers the matter-era
+    raw convention from the host value at z = 100 (as the CLASS-backed
+    Background does). ``mass='cb'`` falls back to the internal ODE."""
 
     @flatarray()
     def growth_rate(self, z, mass='m'):
+        if mass != 'm':
+            return DefaultBackground.growth_rate.__wrapped__(self, z, mass=mass)
         return self._host_eval('growth_rate', lambda zz: np.asarray(self._ba.get_fQ_growth_rate(z=zz)), z)
 
     @flatarray()
     def growth_factor(self, z, mass='m', znorm=None):
+        if mass != 'm':
+            return DefaultBackground.growth_factor.__wrapped__(self, z, mass=mass, znorm=znorm)
         out = self._host_eval('growth_factor', lambda zz: np.asarray(self._ba.get_growth_factor(z=zz)), z)
         if znorm is not None:
-            return (1.0 + znorm) * out
+            zm = 100.0
+            dm = self._host_eval('growth_factor', lambda zz: np.asarray(self._ba.get_growth_factor(z=zz)),
+                                 jnp.array([zm]))[0]
+            return (1.0 + znorm) * out / (dm * (1.0 + zm))
         return out
 
 

@@ -27,14 +27,7 @@ from ..cosmology import (BaseEngine, BaseSection, CosmologyComputationError, Cos
                          DefaultBackground, register_engine, register_section)
 from ..interpolator import PowerSpectrumInterpolator1D, PowerSpectrumInterpolator2D
 from ..ops import Interpolator1D, flatarray
-from .boltzmann import translate_class_params
-
-
-def _background_z_grid():
-    """Dense z-grid for importing host background tables: linear at low z,
-    log-spaced up to z ~ 1e4 (covers recombination-era sound horizons)."""
-    return np.concatenate([np.linspace(0.0, 0.3, 30)[:-1],
-                           1.0 / np.geomspace(1e-4, 1.0 / 1.3, 160)[::-1] - 1.0])
+from .boltzmann import background_z_grid as _background_z_grid, translate_class_params
 
 
 @register_engine
@@ -82,16 +75,6 @@ class ClassEngine(BaseEngine):
             raise CosmologyInputError(
                 f'{self._classy_module} is required for engine {self.name!r}; install it or use an '
                 'analytic/emulated engine (on-device path).') from exc
-
-    def _rescale_sigma8(self):
-        if self._rsigma8 is not None:
-            return self._rsigma8
-        self._rsigma8 = 1.0
-        if 'sigma8' in self._params:
-            self._sections.pop('fourier', None)
-            self._rsigma8 = self._params['sigma8'] / self.get_section('fourier').sigma8_m
-            self._sections.pop('fourier', None)
-        return self._rsigma8
 
 
 @register_engine
@@ -214,14 +197,20 @@ class Background(DefaultBackground):
 
     @flatarray()
     def growth_factor(self, z, mass='m', znorm=None):
-        r"""Scale-independent growth factor from CLASS (normalized to
-        D(0)=1). ``mass='cb'`` falls back to the internal growth ODE."""
+        r"""Scale-independent growth factor from CLASS. ``znorm=None``:
+        D(0)=1 normalization; ``znorm`` given: the matter-era convention
+        (1+znorm) * D_raw with D_raw(z) ~ 1/(1+z) at high z, recovered from
+        the host table at z=100 (same convention as the analytic engines,
+        eisenstein_hu.py:113-123). ``mass='cb'`` falls back to the internal
+        growth ODE."""
         if mass != 'm':
             return DefaultBackground.growth_factor.__wrapped__(self, z, mass=mass, znorm=znorm)
         table = self._host_table('growth_factor', self._ba.growth_factor)
         growthz = table(z)
         if znorm is not None:
-            return (1.0 + znorm) * growthz
+            zm = jnp.array([100.0])
+            draw = growthz / (table(zm)[0] * (1.0 + zm[0]))  # matter-era raw D
+            return (1.0 + znorm) * draw
         return growthz / table(jnp.zeros(1))[0]
 
     @flatarray()
@@ -255,7 +244,9 @@ class Thermodynamics(BaseSection):
         self._z_drag = th.z_drag
         self._rs_star = th.rs_star * h
         self._z_star = th.z_star
-        self._tau_reio = getattr(th, 'tau_reio', float(np.asarray(engine['tau_reio'])))
+        self._tau_reio = getattr(th, 'tau_reio', None)
+        if self._tau_reio is None:  # host without the attribute: input param
+            self._tau_reio = engine.get('tau_reio', None)
         self._z_reio = getattr(th, 'z_reio', None)
         self._YHe = getattr(th, 'YHe', None)
 
@@ -368,7 +359,12 @@ class Transfer(BaseSection):
         r"""Structured array of transfer functions T_x(k) at redshift ``z``."""
         try:
             return self._engine.classy.get_transfer().table(z)
-        except TypeError:  # host module without z argument
+        except TypeError:
+            # host module without a z argument: only the default z = 0 may
+            # silently map onto it — anything else would return wrong data
+            if float(z) != 0.0:
+                raise CosmologyInputError(
+                    f'this host transfer module does not take a redshift (requested z={z})')
             return self._engine.classy.get_transfer().table()
 
 
@@ -497,7 +493,8 @@ class DSBackground(Background):
         H = np.asarray(bg['H [1/Mpc]'])
         rho_ncdm = np.asarray(bg['(.)rho_ncdm[0]']) if '(.)rho_ncdm[0]' in bg.dtype.names else 0.0
         rho_m = np.asarray(bg['(.)rho_b']) + np.asarray(bg['(.)rho_cdm']) + rho_ncdm
-        rho_de = np.asarray(bg['(.)rho_fld'])
+        de_col = '(.)rho_fld' if '(.)rho_fld' in bg.dtype.names else '(.)rho_lambda'
+        rho_de = np.asarray(bg[de_col])
         Om_m = rho_m / H ** 2
         Om_de = rho_de / H ** 2
         dlnH = np.gradient(np.log(H), lna)

@@ -332,3 +332,52 @@ def test_engine_getters_all_sections(fake_class, fake_camb):
         assert fake_camb._engine.get_section(name) is not None
     with pytest.raises(CosmologyInputError):
         fake_camb._engine.get_section('perturbations')
+
+
+def test_camb_background_growth(fake_camb):
+    """Growth on the CAMB-family background runs (review finding: the
+    growth ODE's scan body used to hit the host-delegating Omega overrides
+    with tracers and crash) and matches the closed-form growth ODE (the EH
+    engine's Carroll approximation differs by ~0.2%, so the oracle is
+    DefaultBackground over the same engine)."""
+    from cosmoprimo_tpu.cosmology import DefaultBackground
+    ba = fake_camb.get_background()
+    truth = DefaultBackground(fake_camb._engine)
+    z = np.array([0.0, 0.5, 1.0])
+    np.testing.assert_allclose(np.asarray(ba.growth_factor(z)),
+                               np.asarray(truth.growth_factor(z)), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(ba.growth_rate(z)),
+                               np.asarray(truth.growth_rate(z)), rtol=1e-9)
+
+
+def test_class_z_reio_thermodynamics(monkeypatch):
+    """z_reio-parameterized cosmologies reach the thermodynamics section
+    (review finding: the eager getattr fallback raised on tau_reio)."""
+    install_fake_pyclass(monkeypatch)
+    cosmo = Cosmology(engine='class', omega_cdm=0.12, omega_b=0.02237, h=0.6736,
+                      A_s=2.083e-9, n_s=0.9649, z_reio=7.5)
+    th = cosmo.get_thermodynamics()
+    assert th.tau_reio == pytest.approx(0.06)  # from the host object
+
+
+def test_class_growth_znorm_convention(fake_class):
+    """znorm on the CLASS-backed growth matches the analytic engines' raw
+    matter-era convention (review finding: it was applied to the
+    D(0)=1-normalized host table, ~25-30% off)."""
+    ba = fake_class.get_background()
+    truth = Cosmology(engine='eisenstein_hu', **PARAMS).get_background()
+    z = np.array([0.0, 1.0, 3.0])
+    np.testing.assert_allclose(np.asarray(ba.growth_factor(z, znorm=0.0)),
+                               np.asarray(truth.growth_factor(z, znorm=0.0)), rtol=2e-2)
+
+
+def test_camb_z_reio_tau_fallback(monkeypatch):
+    """Under z_reio parameterization, Thermodynamics.tau_reio does not
+    return the untouched CAMBparams field default (review finding)."""
+    install_fake_camb(monkeypatch)
+    cosmo = Cosmology(engine='camb', omega_cdm=0.12, omega_b=0.02237, h=0.6736,
+                      A_s=2.083e-9, n_s=0.9649, z_reio=7.5)
+    # fake set_params writes tau only when given: optical_depth keeps its
+    # class default (0.06 in the fake) -> value must be truthy, never 0
+    th = cosmo.get_thermodynamics()
+    assert th.tau_reio and th.tau_reio > 0
