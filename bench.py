@@ -2,18 +2,32 @@
 over many cosmologies on the TPU, against the reference cosmoprimo library
 (numpy/scipy) running the identical pipeline on CPU.
 
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"} per metric;
+the FIRST line is the headline (linear flagship pipeline), followed by the
+non-linear (halofit) pipeline, the HMcode-2020 pipeline, and the fused
+Pallas FFTLog kernel vs the XLA f64 pair-FFT path.
+
+Fitting the driver's wall-clock window (round 2 was killed at rc=124 after
+~20 min): XLA compilation on the axon relay dominates the old serial cost
+(~25 min; the timed sections are seconds), so the four metric programs are
+now *compiled concurrently* from four threads — the relay compiles
+server-side, so the compiles overlap and total wall time collapses to
+roughly the slowest single compile — then timed sequentially.  A wall-clock
+budget (env ``BENCH_BUDGET_S``, default 1020 s) still gates each join: a
+metric whose compile has not landed in-window is reported as a JSON line
+with a "skipped" note instead of being lost to the kill signal.  All
+threads are daemons, so a hung relay call cannot wedge process exit.
+Stage timings go to stderr.
+
 Timing note: on the axon TPU relay, ``block_until_ready`` does not
 synchronize — every timed call therefore reduces its outputs to a scalar
 ON DEVICE and forces an 8-byte readback, which bounds the full compute.
-
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"} per metric;
-the FIRST line is the headline (linear flagship pipeline), followed by the
-non-linear (halofit) pipeline and the fused Pallas FFTLog kernel vs the XLA
-f64 pair-FFT path.
 """
 
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -22,6 +36,32 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update('jax_enable_x64', True)
+
+_T0 = time.time()
+
+# Pinned CPU baseline rate [cosmologies/s] for the reference cosmoprimo
+# library (numpy/scipy, eisenstein_hu engine, clone + pk_interpolator +
+# PowerToCorrelation + distances + sigma8_z per cosmology) on one core of
+# this build box.  Driver-recorded measurements of reference_rate():
+# BENCH_r01.json: 9.14/s, BENCH_r02.json: 6.56/s — the 39% swing is
+# contention noise on the 1-CPU box, which made `vs_baseline` unstable
+# round-over-round.  Pinned to the mean; set BENCH_MEASURE_BASELINE=1 to
+# re-measure live instead (the raw device rate is always reported too).
+BASELINE_RATE_PINNED = 7.85
+
+N_COMPARE = 32  # rows of the headline batch read back for the CPU cross-check
+
+
+def _elapsed():
+    return time.time() - _T0
+
+
+def _log(msg):
+    print(f'[bench +{_elapsed():7.1f}s] {msg}', file=sys.stderr, flush=True)
+
+
+def _budget_left():
+    return float(os.environ.get('BENCH_BUDGET_S', '1020')) - _elapsed()
 
 
 def make_args(n, seed=0):
@@ -63,76 +103,13 @@ def reference_rate(seconds=5.0):
     return n / (time.time() - t0)
 
 
-def main():
-    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline_batched
-
-    n = int(os.environ.get('BENCH_N', '10000'))
-    n_cpu = int(os.environ.get('BENCH_N_CPU', '32'))
-    nrep = int(os.environ.get('BENCH_NREP', '3'))
-
-    # headline path: batched pipeline with ONE FFTLog over the whole batch;
-    # on TPU the fused Pallas double-single kernel handles the transform
-    # (~16% over the XLA f64 pair-FFT), with automatic fallback if the
-    # toolchain rejects it
-    args_list = [make_args(n, seed=i) for i in range(nrep + 1)]
-    fn, batched_checksum, fft_engine = _build_batched_checksum(
-        nk=1024, non_linear=False, warm_args=args_list[0])
-    best = np.inf
-    for i in range(1, nrep + 1):
-        t0 = time.time()
-        float(batched_checksum(*args_list[i]))
-        best = min(best, time.time() - t0)
-    rate = n / best
-
-    # ---- CPU f64 path: accuracy cross-check + XLA-CPU rate (the Pallas
-    # kernel is TPU-only, so the CPU reference runs the XLA engine)
-    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline_batched
-    fn_cpu, _, _ = make_pk_to_xi_pipeline_batched(nk=1024, fft_engine='auto')
-    cpu = jax.devices('cpu')[0]
-    args_small = make_args(n_cpu, seed=1)
-    args_cpu = jax.tree_util.tree_map(lambda a: jax.device_put(a, cpu), args_small)
-    with jax.default_device(cpu):
-        batched_cpu = jax.jit(fn_cpu)
-        out_cpu = jax.tree_util.tree_map(np.asarray, batched_cpu(*args_cpu))
-        t0 = time.time()
-        jax.block_until_ready(batched_cpu(*args_cpu))  # CPU backend truly blocks
-        rate_cpu = n_cpu / (time.time() - t0)
-    out_tpu = jax.tree_util.tree_map(np.asarray, jax.jit(fn)(*args_small))
-    xi_t, chi_t, s8_t = out_tpu
-    xi_c, chi_c, s8_c = out_cpu
-    scale = np.abs(xi_c).max(axis=-1, keepdims=True)
-    max_err = float(max((np.abs(xi_t - xi_c) / scale).max(),
-                        np.abs(chi_t / chi_c - 1).max(),
-                        np.abs(s8_t / s8_c - 1).max()))
-
-    # ---- baseline: the reference cosmoprimo library itself (CPU)
-    ref_rate = reference_rate()
-    baseline_rate = ref_rate if ref_rate is not None else rate_cpu
-
-    result = {
-        'metric': f'pk->xi FFTLog + distances + sigma8, f64, batch {n}',
-        'value': round(rate, 1),
-        'unit': 'cosmologies/s',
-        'vs_baseline': round(rate / baseline_rate, 2),
-        'baseline': 'reference cosmoprimo (numpy/scipy, 1 CPU core)' if ref_rate is not None else 'same pipeline, XLA CPU f64',
-        'baseline_rate': round(baseline_rate, 2),
-        'jax_cpu_rate': round(rate_cpu, 2),
-        'max_rel_err_vs_cpu_f64': max_err,
-        'fft_engine': fft_engine,
-        'backend': jax.default_backend(),
-    }
-    print(json.dumps(result), flush=True)
-
-    bench_halofit(baseline_rate, nrep=nrep)
-    bench_hmcode(baseline_rate, nrep=nrep)
-    bench_pallas_fftlog()
-
-
-
-def _build_batched_checksum(nk, non_linear, warm_args):
-    """(fn, jitted checksum, engine) over the batched pipeline, honoring
+def _build_batched_checksum(nk, non_linear, warm_args, with_slices=False):
+    """(jitted checksum, engine) over the batched pipeline, honoring
     BENCH_FFT_ENGINE and preferring the fused Pallas FFT on TPU with
-    automatic fallback to the XLA engine."""
+    automatic fallback to the XLA engine.  With ``with_slices`` the jitted
+    function also returns the first N_COMPARE rows of each output (device-
+    resident until fetched) so the accuracy cross-check reuses the same
+    compiled program instead of compiling a second small-batch variant."""
     from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline_batched
 
     def build(engine):
@@ -142,80 +119,39 @@ def _build_batched_checksum(nk, non_linear, warm_args):
         def checksum(*args):
             xi, chi, s8 = fn(*args)
             # on-device reduction: an 8-byte readback bounds the full compute
-            return jnp.sum(xi) + jnp.sum(chi) + jnp.sum(s8)
+            total = jnp.sum(xi) + jnp.sum(chi) + jnp.sum(s8)
+            if with_slices:
+                return total, (xi[:N_COMPARE], chi[:N_COMPARE], s8[:N_COMPARE])
+            return total
 
-        return fn, checksum
+        return checksum
+
+    def warm(checksum):
+        out = checksum(*warm_args)
+        float(out[0] if with_slices else out)
 
     engine = os.environ.get('BENCH_FFT_ENGINE',
                             'pallas' if jax.default_backend() == 'tpu' else 'auto')
     try:
-        fn, checksum = build(engine)
-        float(checksum(*warm_args))  # compile + warm
+        checksum = build(engine)
+        warm(checksum)  # compile + warm
     except Exception:
         engine = 'auto'
-        fn, checksum = build(engine)
-        float(checksum(*warm_args))
-    return fn, checksum, engine
+        checksum = build(engine)
+        warm(checksum)
+    return checksum, engine
 
 
-def bench_halofit(baseline_rate, nrep=3):
-    """Non-linear (native halofit) pk->xi pipeline rate — the same flagship
-    workload with the halo-fit transform inserted per cosmology."""
-    n = int(os.environ.get('BENCH_N_NL', '4096'))
-    args_list = [make_args(n, seed=10 + i) for i in range(nrep + 1)]
-    _, checksum, _ = _build_batched_checksum(nk=1024, non_linear='halofit', warm_args=args_list[0])
-    best = np.inf
-    for i in range(1, nrep + 1):
-        t0 = time.time()
-        float(checksum(*args_list[i]))
-        best = min(best, time.time() - t0)
-    rate = n / best
-    print(json.dumps({
-        'metric': f'non-linear (halofit) pk->xi pipeline, f64, batch {n}',
-        'value': round(rate, 1),
-        'unit': 'cosmologies/s',
-        'vs_baseline': round(rate / baseline_rate, 2),
-        'baseline': 'reference linear pipeline rate (the reference has no native halofit)',
-        'backend': jax.default_backend(),
-    }), flush=True)
-
-
-def bench_hmcode(baseline_rate, nrep=3):
-    """HMcode-2020 halo-model pk->xi pipeline rate (full Sheth-Tormen + NFW
-    one-halo integral per cosmology) — capability the reference only has
-    through CLASS/CAMB Fortran/C."""
-    n = int(os.environ.get('BENCH_N_HM', '256'))
-    args_list = [make_args(n, seed=20 + i) for i in range(nrep + 1)]
-    _, checksum, _ = _build_batched_checksum(nk=384, non_linear='mead', warm_args=args_list[0])
-    best = np.inf
-    for i in range(1, nrep + 1):
-        t0 = time.time()
-        float(checksum(*args_list[i]))
-        best = min(best, time.time() - t0)
-    rate = n / best
-    print(json.dumps({
-        'metric': f'HMcode-2020 halo-model pk->xi pipeline, f64, batch {n}',
-        'value': round(rate, 1),
-        'unit': 'cosmologies/s',
-        'vs_baseline': round(rate / baseline_rate, 2),
-        'baseline': 'reference linear pipeline rate (the reference has no native HMcode)',
-        'backend': jax.default_backend(),
-    }), flush=True)
-
-
-def bench_pallas_fftlog(nrep=5):
-    """Standalone fused Pallas FFTLog kernel (double-single f32) vs the XLA
-    f64 pair-FFT engine on the identical transform: TophatVariance over a
-    (batch, 4096) padded grid. Skipped (with a JSON note) off-TPU or if the
-    kernel fails to compile on this toolchain."""
+def _build_pallas_kernel(nbatch):
+    """Jitted TophatVariance checksums for the pair-FFT and Pallas engines
+    over the same (nbatch, 1024) input, compiled and warmed."""
     from cosmoprimo_tpu.fftlog import TophatVariance
 
-    nbatch = int(os.environ.get('BENCH_N_PALLAS', '4096'))
     k = np.geomspace(1e-5, 1e2, 1024)
     pk = (k / 0.05) ** 0.96 / (1 + (k / 0.1) ** 3.04) * 2e9
     pk_batch = jnp.asarray(pk)[None, :] * jnp.linspace(0.8, 1.2, nbatch)[:, None]
 
-    def timed_rate(engine):
+    def build(engine):
         tp = TophatVariance(k, engine=engine)
 
         @jax.jit
@@ -224,37 +160,184 @@ def bench_pallas_fftlog(nrep=5):
             return jnp.sum(var)
 
         float(checksum(pk_batch))  # compile + warm
-        best = np.inf
-        for _ in range(nrep):
-            t0 = time.time()
-            float(checksum(pk_batch))
-            best = min(best, time.time() - t0)
-        return nbatch / best
+        return checksum
 
-    rate_pair = timed_rate('pair')
+    pair = build('pair')
     try:
-        rate_pallas = timed_rate('pallas')
+        pallas = build('pallas')
     except Exception as exc:
+        pallas = exc
+    return pair, pallas, pk_batch
+
+
+def _time_best(checksum, args_list, scalar=lambda out: out):
+    best = np.inf
+    for args in args_list:
+        t0 = time.time()
+        float(scalar(checksum(*args)))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _skip_line(metric, baseline, unit, reason):
+    print(json.dumps({
+        'metric': metric, 'value': 0.0, 'unit': unit, 'vs_baseline': 0.0,
+        'baseline': baseline, 'skipped': reason, 'backend': jax.default_backend(),
+    }), flush=True)
+
+
+def main():
+    n = int(os.environ.get('BENCH_N', '10000'))
+    n_nl = int(os.environ.get('BENCH_N_NL', '4096'))
+    n_hm = int(os.environ.get('BENCH_N_HM', '256'))
+    n_pallas = int(os.environ.get('BENCH_N_PALLAS', '4096'))
+    nrep = int(os.environ.get('BENCH_NREP', '3'))
+
+    head_args = [make_args(n, seed=i) for i in range(nrep + 1)]
+    hf_args = [make_args(n_nl, seed=10 + i) for i in range(nrep + 1)]
+    hm_args = [make_args(n_hm, seed=20 + i) for i in range(nrep + 1)]
+
+    # ---- concurrent compilation: the relay compiles server-side, so four
+    # compiles overlap; threads are daemons so a hung one cannot block exit
+    built = {}
+
+    def runner(name, builder):
+        try:
+            t0 = time.time()
+            built[name] = ('ok', builder())
+            _log(f'{name}: compiled + warmed in {time.time() - t0:.0f}s')
+        except Exception as exc:  # noqa: BLE001 - report, don't crash the bench
+            built[name] = ('err', exc)
+            _log(f'{name}: build FAILED: {type(exc).__name__}: {exc}')
+
+    builders = {
+        'headline': lambda: _build_batched_checksum(nk=1024, non_linear=False,
+                                                    warm_args=head_args[0], with_slices=True),
+        'halofit': lambda: _build_batched_checksum(nk=1024, non_linear='halofit',
+                                                   warm_args=hf_args[0]),
+        'hmcode': lambda: _build_batched_checksum(nk=384, non_linear='mead',
+                                                  warm_args=hm_args[0]),
+        'pallas': lambda: _build_pallas_kernel(n_pallas),
+    }
+    threads = {}
+    for name, builder in builders.items():
+        threads[name] = threading.Thread(target=runner, args=(name, builder), daemon=True)
+        threads[name].start()
+    _log('all four metric programs compiling concurrently')
+
+    # ---- CPU f64 cross-check reference, in the main thread meanwhile
+    _log('cpu cross-check: compiling on CPU backend')
+    from cosmoprimo_tpu.pipelines import make_pk_to_xi_pipeline_batched
+    fn_cpu, _, _ = make_pk_to_xi_pipeline_batched(nk=1024, fft_engine='auto')
+    cpu = jax.devices('cpu')[0]
+    args_small = jax.tree_util.tree_map(lambda a: a[:N_COMPARE], head_args[1])
+    args_cpu = jax.tree_util.tree_map(lambda a: jax.device_put(a, cpu), args_small)
+    with jax.default_device(cpu):
+        batched_cpu = jax.jit(fn_cpu)
+        out_cpu = jax.tree_util.tree_map(np.asarray, batched_cpu(*args_cpu))
+        t0 = time.time()
+        jax.block_until_ready(batched_cpu(*args_cpu))  # CPU backend truly blocks
+        rate_cpu = N_COMPARE / (time.time() - t0)
+    _log('cpu cross-check: reference computed')
+
+    if os.environ.get('BENCH_MEASURE_BASELINE'):
+        ref_rate = reference_rate()
+        baseline_rate = ref_rate if ref_rate is not None else rate_cpu
+        baseline_name = ('reference cosmoprimo (numpy/scipy, 1 CPU core, measured live)'
+                         if ref_rate is not None else 'same pipeline, XLA CPU f64')
+    else:
+        baseline_rate = BASELINE_RATE_PINNED
+        baseline_name = ('reference cosmoprimo (numpy/scipy, 1 CPU core; '
+                         'pinned mean of r01/r02 driver measurements)')
+
+    # ---- headline: wait for its compile (mandatory), time, cross-check
+    threads['headline'].join(timeout=max(60.0, _budget_left() - 120.0))
+    status = built.get('headline')
+    if status is None or status[0] != 'ok':
+        reason = ('compile did not finish in budget' if status is None
+                  else f'{type(status[1]).__name__}: {status[1]}'[:200])
+        _skip_line(f'pk->xi FFTLog + distances + sigma8, f64, batch {n}',
+                   baseline_name, 'cosmologies/s', reason)
+    else:
+        checksum, fft_engine = status[1]
+        best = _time_best(checksum, [head_args[i] for i in range(1, nrep + 1)],
+                          scalar=lambda out: out[0])
+        rate = n / best
+        # accuracy: first N_COMPARE rows of the first timed rep vs CPU f64
+        _, slices = checksum(*head_args[1])
+        xi_t, chi_t, s8_t = (np.asarray(v) for v in slices)
+        xi_c, chi_c, s8_c = out_cpu
+        scale = np.abs(xi_c).max(axis=-1, keepdims=True)
+        max_err = float(max((np.abs(xi_t - xi_c) / scale).max(),
+                            np.abs(chi_t / chi_c - 1).max(),
+                            np.abs(s8_t / s8_c - 1).max()))
         print(json.dumps({
-            'metric': f'fused Pallas FFTLog kernel, df32, batch {nbatch} x 4096',
-            'value': 0.0,
-            'unit': 'transforms/s',
-            'vs_baseline': 0.0,
-            'baseline': 'XLA f64 pair-FFT FFTLog (same transform)',
-            'baseline_rate': round(rate_pair, 1),
-            'skipped': f'{type(exc).__name__}: {exc}'[:200],
+            'metric': f'pk->xi FFTLog + distances + sigma8, f64, batch {n}',
+            'value': round(rate, 1),
+            'unit': 'cosmologies/s',
+            'vs_baseline': round(rate / baseline_rate, 2),
+            'baseline': baseline_name,
+            'baseline_rate': round(baseline_rate, 2),
+            'jax_cpu_rate': round(rate_cpu, 2),
+            'max_rel_err_vs_cpu_f64': max_err,
+            'fft_engine': fft_engine,
             'backend': jax.default_backend(),
         }), flush=True)
-        return
-    print(json.dumps({
-        'metric': f'fused Pallas FFTLog kernel, df32, batch {nbatch} x 4096',
-        'value': round(rate_pallas, 1),
-        'unit': 'transforms/s',
-        'vs_baseline': round(rate_pallas / rate_pair, 2),
-        'baseline': 'XLA f64 pair-FFT FFTLog (same transform)',
-        'baseline_rate': round(rate_pair, 1),
-        'backend': jax.default_backend(),
-    }), flush=True)
+        _log('headline: emitted')
+
+    # ---- halofit / hmcode pipelines
+    for name, n_batch, label in (
+            ('halofit', n_nl, f'non-linear (halofit) pk->xi pipeline, f64, batch {n_nl}'),
+            ('hmcode', n_hm, f'HMcode-2020 halo-model pk->xi pipeline, f64, batch {n_hm}')):
+        base_label = f'reference linear pipeline rate (the reference has no native {name})'
+        threads[name].join(timeout=max(0.0, _budget_left() - 30.0))
+        status = built.get(name)
+        if status is None or status[0] != 'ok':
+            reason = (f'compile did not finish in budget ({_budget_left():.0f}s left)'
+                      if status is None else f'{type(status[1]).__name__}: {status[1]}'[:200])
+            _skip_line(label, base_label, 'cosmologies/s', reason)
+            continue
+        checksum, _ = status[1]
+        args_list = hf_args if name == 'halofit' else hm_args
+        best = _time_best(checksum, [args_list[i] for i in range(1, nrep + 1)])
+        print(json.dumps({
+            'metric': label,
+            'value': round(n_batch / best, 1),
+            'unit': 'cosmologies/s',
+            'vs_baseline': round(n_batch / best / baseline_rate, 2),
+            'baseline': base_label,
+            'backend': jax.default_backend(),
+        }), flush=True)
+        _log(f'{name}: emitted')
+
+    # ---- standalone fused Pallas FFTLog kernel vs the XLA pair-FFT engine
+    label = f'fused Pallas FFTLog kernel, df32, batch {n_pallas} x 4096'
+    base_label = 'XLA f64 pair-FFT FFTLog (same transform)'
+    threads['pallas'].join(timeout=max(0.0, _budget_left() - 10.0))
+    status = built.get('pallas')
+    if status is None or status[0] != 'ok':
+        reason = (f'compile did not finish in budget ({_budget_left():.0f}s left)'
+                  if status is None else f'{type(status[1]).__name__}: {status[1]}'[:200])
+        _skip_line(label, base_label, 'transforms/s', reason)
+    else:
+        pair, pallas, pk_batch = status[1]
+        best_pair = _time_best(pair, [(pk_batch,)] * 5)
+        if isinstance(pallas, Exception):
+            _skip_line(label, base_label, 'transforms/s',
+                       f'{type(pallas).__name__}: {pallas}'[:200])
+        else:
+            best_pallas = _time_best(pallas, [(pk_batch,)] * 5)
+            print(json.dumps({
+                'metric': label,
+                'value': round(n_pallas / best_pallas, 1),
+                'unit': 'transforms/s',
+                'vs_baseline': round(best_pair / best_pallas, 2),
+                'baseline': base_label,
+                'baseline_rate': round(n_pallas / best_pair, 1),
+                'backend': jax.default_backend(),
+            }), flush=True)
+            _log('pallas kernel: emitted')
+    _log('all metrics done')
 
 
 if __name__ == '__main__':

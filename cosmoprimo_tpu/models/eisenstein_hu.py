@@ -231,7 +231,11 @@ class Fourier(BaseSection):
         self._hm_params = dict(omega_m=engine['Omega_m'] * self._h ** 2,
                                omega_b=engine['Omega_b'] * self._h ** 2,
                                h=self._h, theta_cmb=engine['T_cmb'] / 2.7,
-                               n_s=engine['n_s'], fnu=self._fnu)
+                               n_s=engine['n_s'], fnu=self._fnu,
+                               Omega_k=engine['Omega_k'],
+                               w0_fld=self._w0, wa_fld=self._wa)
+        # CAMB-compatible extra-parameter spelling (reference camb.py:137)
+        self._logT_AGN = getattr(engine, '_extra_params', {}).get('HMCode_logT_AGN', 7.8)
 
     def pk_interpolator(self, of='delta_m', non_linear=False, **kwargs):
         """P(k, z) interpolator for 'delta_m' / 'theta_m' (velocity spectra
@@ -248,14 +252,18 @@ class Fourier(BaseSection):
                 from .halofit import halofit_pk_interpolator
                 lin = self.pk_interpolator(of=of, **kwargs)
                 return halofit_pk_interpolator(lin, self.ba, w0=self._w0, wa=self._wa, fnu=self._fnu)
-            if non_linear in ('mead', 'hmcode', 'mead2020', 'hmcode2020'):
+            if non_linear in ('mead', 'hmcode', 'mead2020', 'hmcode2020', 'mead2020_feedback'):
                 from .hmcode import hmcode_pk_interpolator
                 # base EH98 does not distinguish the cb field (the nowiggle
                 # variants engine overrides with its scale-dependent growth)
                 lin_m = self.pk_interpolator(of='delta_m', **kwargs)
-                return hmcode_pk_interpolator(lin_m, self.ba, self._hm_params)
+                hm_params = dict(self._hm_params)
+                if non_linear == 'mead2020_feedback':
+                    hm_params['logT_AGN'] = self._logT_AGN
+                return hmcode_pk_interpolator(lin_m, self.ba, hm_params)
             raise CosmologyInputError(f'non_linear={non_linear!r} is not supported; '
-                                      "use 'halofit' (Takahashi 2012) or 'mead' (HMcode-2020)")
+                                      "use 'halofit' (Takahashi 2012), 'mead' (HMcode-2020) "
+                                      "or 'mead2020_feedback' (HMcode-2020 + T_AGN baryons)")
         if isinstance(of, str):
             of = (of,)
         of = list(of)

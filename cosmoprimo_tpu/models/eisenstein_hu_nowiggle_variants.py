@@ -154,16 +154,20 @@ class Fourier(_EHFourier):
                 from .halofit import halofit_pk_interpolator
                 lin = self.pk_interpolator(of=of, **kwargs)
                 return halofit_pk_interpolator(lin, self.ba, w0=self._w0, wa=self._wa, fnu=self._fnu)
-            if non_linear in ('mead', 'hmcode', 'mead2020', 'hmcode2020'):
+            if non_linear in ('mead', 'hmcode', 'mead2020', 'hmcode2020', 'mead2020_feedback'):
                 # this engine DOES distinguish the cb field (scale-dependent
                 # free-streaming growth): HMcode gets sigma(R) from cb and
                 # the two-halo term from total matter, as the paper specifies
                 from .hmcode import hmcode_pk_interpolator
                 lin_m = self.pk_interpolator(of='delta_m', **kwargs)
                 lin_cb = self.pk_interpolator(of='delta_cb', **kwargs)
-                return hmcode_pk_interpolator(lin_m, self.ba, self._hm_params, pk2d_cb=lin_cb)
+                hm_params = dict(self._hm_params)
+                if non_linear == 'mead2020_feedback':
+                    hm_params['logT_AGN'] = getattr(self, '_logT_AGN', 7.8)
+                return hmcode_pk_interpolator(lin_m, self.ba, hm_params, pk2d_cb=lin_cb)
             raise CosmologyInputError(f'non_linear={non_linear!r} is not supported; '
-                                      "use 'halofit' (Takahashi 2012) or 'mead' (HMcode-2020)")
+                                      "use 'halofit' (Takahashi 2012), 'mead' (HMcode-2020) "
+                                      "or 'mead2020_feedback' (HMcode-2020 + T_AGN baryons)")
         if not isinstance(of, (tuple, list)):
             of = (of, of)
         ntheta = sum(o.startswith('theta_') for o in of)

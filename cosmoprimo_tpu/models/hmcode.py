@@ -21,12 +21,23 @@ Physics (paper sections 2-3, fitted parameters from its Table 2):
 - one-halo term damped by (k/k*)^4 / (1 + (k/k*)^4);
 - smoothed transition Delta^2 = (D2h^alpha + D1h^alpha)^(1/alpha).
 
-Deliberate substitutions (documented; no HMcode oracle exists in this
-zero-egress image): delta_c uses Nakamura & Suto (1997) and Delta_v uses
-Bryan & Norman (1998) in place of the Mead (2017) fits — same functional
-role, sub-percent differences in the fitted regime — both carrying the
-HMcode-2020 massive-neutrino multipliers (1 + 0.262 f_nu), (1 + 0.916 f_nu).
-Baryonic feedback (the T_AGN single-parameter response) is out of scope.
+Collapse thresholds: delta_c and Delta_v default to the Mead (2017,
+arXiv:1606.05345, Table 2) fitted forms in Omega_m(a), g(a)/a and G(a)/a
+(``collapse='mead2017'``) that HMcode-2020 specifies, both carrying the
+HMcode-2020 massive-neutrino multipliers (1 + 0.262 f_nu), (1 + 0.916 f_nu);
+``collapse='ns97'`` selects the earlier Nakamura & Suto (1997) /
+Bryan & Norman (1998) forms as a documented fallback (sub-percent
+differences in the fitted regime).
+
+Baryonic feedback (``non_linear='mead2020_feedback'``): the single-parameter
+T_AGN response of Mead et al. 2021 §5, Table 5 — concentration amplitude
+B(theta, z), constant stellar fraction f*(theta, z) served as a point-mass
+window term, and the bound-gas fraction f_g(M) = (f_b - f*)/(1 + (M_b/M)^2)
+that depletes the NFW window of haloes below the fitted mass M_b(theta, z);
+halo bloating (eta) is disabled in the response recipe.
+Coefficients transcribed from the published paper table; no external oracle
+exists in this zero-egress image, so tests assert the published qualitative
+response (suppression depth/scale vs theta) rather than digits.
 """
 
 import numpy as np
@@ -54,6 +65,21 @@ _B_MIN = 5.196                          # minimum Bullock concentration
 _ETA_A, _ETA_P = 0.1281, -0.3644        # halo bloating exponent
 _ALPHA_A, _ALPHA_B = 1.875, 1.603       # transition smoothing alpha
 _FORM_FRAC = 0.01                       # Bullock formation mass fraction
+
+# HMcode-2020 baryonic feedback (Mead et al. 2021, §5 Table 5): every
+# parameter is linear in theta = log10(T_AGN / K) - 7.8, with redshift
+# dependence x(z) = x0 * 10^(z * xz)
+_FB_B0, _FB_B_T = 3.44, -0.496          # concentration amplitude B(theta)
+_FB_BZ0, _FB_BZ_T = -0.0671, -0.0371    # its 10^(z *) exponent
+_FB_F0, _FB_F_T = 2.01e-2, -0.30e-2     # stellar halo mass fraction f*
+_FB_FZ0, _FB_FZ_T = 0.409, 0.0224
+_FB_MB0, _FB_MB_T = 13.87, 1.81         # log10 M_b [Msun/h] gas retention
+_FB_MBZ0, _FB_MBZ_T = -0.108, 0.195
+_FB_BETA = 2.0                          # gas-fraction transition power
+
+# ideal (EdS) spherical-collapse values
+_DC0 = (3.0 / 20.0) * (12.0 * np.pi) ** (2.0 / 3.0)
+_DV0 = 18.0 * np.pi ** 2
 
 
 def sigma_tophat2(k, pk_kz, R):
@@ -127,16 +153,97 @@ def nfw_window(krs, c):
 
 def delta_c(Omega_mz, fnu=0.0):
     """Linear collapse threshold (Nakamura & Suto 1997) with the HMcode-2020
-    neutrino multiplier."""
-    return (3.0 / 20.0) * (12.0 * np.pi) ** (2.0 / 3.0) \
-        * (1.0 + 0.0123 * jnp.log10(Omega_mz)) * (1.0 + 0.262 * fnu)
+    neutrino multiplier (the ``collapse='ns97'`` fallback)."""
+    return _DC0 * (1.0 + 0.0123 * jnp.log10(Omega_mz)) * (1.0 + 0.262 * fnu)
 
 
 def Delta_v(Omega_mz, fnu=0.0):
     """Virial overdensity w.r.t. the mean matter density (Bryan & Norman
-    1998, flat) with the HMcode-2020 neutrino multiplier."""
+    1998, flat) with the HMcode-2020 neutrino multiplier (the
+    ``collapse='ns97'`` fallback)."""
     x = Omega_mz - 1.0
     return (18 * np.pi ** 2 + 82.0 * x - 39.0 * x ** 2) / Omega_mz * (1.0 + 0.916 * fnu)
+
+
+def _f_mead(x, y, p):
+    """Mead (2017) Appendix-A basis f(x, y) = p0 + p1 (1-x) + p2 (1-x)^2
+    + p3 (1-y), with x = g(a)/a and y = G(a)/a (both 1 in EdS)."""
+    return p[0] + p[1] * (1.0 - x) + p[2] * (1.0 - x) ** 2 + p[3] * (1.0 - y)
+
+
+def delta_c_mead(Omega_mz, g_ratio, G_ratio, fnu=0.0):
+    """Linear collapse threshold fitted to spherical-collapse calculations
+    (Mead 2017, arXiv:1606.05345, Table 2 row delta_c; the HMcode-2020
+    default) with the HMcode-2020 neutrino multiplier.
+
+    ``g_ratio`` = g(a)/a with g the growth factor normalized g(a) -> a as
+    a -> 0; ``G_ratio`` = G(a)/a with G(a) = int_0^a g(a') dln a'.  In EdS
+    both ratios are 1 and delta_c = (3/20)(12 pi)^(2/3) (1 + p20) recovers
+    the ideal value to 1e-4.
+    """
+    lg = jnp.log10(Omega_mz)
+    f1 = _f_mead(g_ratio, G_ratio, (-0.0069, -0.0208, 0.0312, 0.0021))
+    f2 = _f_mead(g_ratio, G_ratio, (0.0001, -0.0647, -0.0417, 0.0646))
+    return _DC0 * (1.0 + f1 * lg + f2) * (1.0 + 0.262 * fnu)
+
+
+def Delta_v_mead(Omega_mz, g_ratio, G_ratio, fnu=0.0):
+    """Virial overdensity w.r.t. the mean matter density fitted to
+    spherical-collapse calculations (Mead 2017, Table 2 row Delta_v; the
+    HMcode-2020 default) with the HMcode-2020 neutrino multiplier.
+    Arguments as :func:`delta_c_mead`; EdS recovers 18 pi^2 exactly.
+    """
+    lg = jnp.log10(Omega_mz)
+    f1 = _f_mead(g_ratio, G_ratio, (-0.79, -10.17, 2.51, 6.51))
+    f2 = _f_mead(g_ratio, G_ratio, (-1.89, 0.38, 18.8, -15.87))
+    return _DV0 * (1.0 + f1 * lg + f2 * lg ** 2) * (1.0 + 0.916 * fnu)
+
+
+def mead_growth_ratios(z, Omega_m0, Omega_k0=0.0, w0=-1.0, wa=0.0,
+                       na=128, a_init=1e-4):
+    """(g(a)/a, G(a)/a) at redshifts ``z`` in the Mead (2017) convention.
+
+    The fits are calibrated with the *radiation-free* linear growth of a
+    matter + CPL dark-energy (+ curvature) universe, normalized to the
+    early-time convention g(a) -> a — the background's own growth tables
+    (which include radiation friction and a different normalization) do
+    not satisfy this, so the g here is solved from its own 2nd-order ODE
+    in eta = ln a on a static grid (rk4-on-scan, trace/vmap-safe):
+    D'' = 1.5 Omega_m(a) D - (2 + dlnH/dlna) D', D(a_init) = a_init.
+    G(a) = int_0^a g dln a' closes the below-grid tail with the
+    matter-domination limit int_0^a0 a' dln a' = a0.
+    """
+    from ..ops.odeint import odeint
+    Ode0 = 1.0 - Omega_m0 - Omega_k0
+
+    def Omegas(eta):
+        a = jnp.exp(eta)
+        de = a ** (-3.0 * (1.0 + w0 + wa)) * jnp.exp(-3.0 * wa * (1.0 - a))
+        Esq = Omega_m0 * a ** -3 + Omega_k0 * a ** -2 + Ode0 * de
+        return Omega_m0 * a ** -3 / Esq, Omega_k0 * a ** -2 / Esq, Ode0 * de / Esq, a
+
+    # integrate u = D/a (u'' = (s + f - 1) u + (f - 2) u' for D'' = s D
+    # + f D'): u == 1 identically in EdS, so the rk4 error rides on the
+    # slowly-varying suppression factor instead of the 9-e-fold growth
+    # G(a) = int g dln a rides along as a third component so the whole
+    # system carries rk4 (h^4) accuracy end to end
+    def deqs(U, eta):
+        u, up, _ = U
+        Om, Ok, Ode, a = Omegas(eta)
+        w = w0 + wa * (1.0 - a)
+        addot = -0.5 * (1.0 - Ok + 3.0 * w * Ode)   # no radiation term
+        f = -1.0 - addot
+        return jnp.array([up, (1.5 * Om + f - 1.0) * u + (f - 2.0) * up, a * u])
+
+    eta = np.linspace(np.log(a_init), 0.0, na)
+    sol = odeint(deqs, jnp.array([1.0, 0.0, a_init]), jnp.asarray(eta))
+    a_tab = jnp.exp(jnp.asarray(eta))
+    g_tab = a_tab * sol[:, 0]                        # already g(a) -> a early
+    G_tab = sol[:, 2]
+    az = 1.0 / (1.0 + jnp.asarray(z))
+    g_z = jnp.interp(az, a_tab, g_tab)
+    G_z = jnp.interp(az, a_tab, G_tab)
+    return g_z / az, G_z / az
 
 
 def _st_f(nu):
@@ -146,7 +253,9 @@ def _st_f(nu):
 
 
 def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns,
-               growth_a, growth_g, growth_z, dolag_ratio=1.0,
+               growth_a, growth_g, growth_z, dolag_ratio=1.0, z=None,
+               collapse='mead2017', logT_AGN=None,
+               Omega_k0=0.0, w0=-1.0, wa=0.0,
                nR=64, Rrange=(5e-4, 5e1), nk_one_halo=64):
     """HMcode-2020 non-linear P(k, z).
 
@@ -158,14 +267,24 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     Omega_mz : (nz,) matter density parameter at the table redshifts.
     fnu : neutrino mass fraction Omega_nu / Omega_m today.
     omega_m, omega_b : physical densities Omega h^2 (for the EH no-wiggle
-        de-wiggling shape).
+        de-wiggling shape and the feedback gas fraction).
     h, theta_cmb, ns : Hubble, T_cmb/2.7255, scalar index.
     growth_a, growth_g : static arrays tabulating the normalized growth
         factor g(a) (g(1) = 1), increasing in a — used to invert the
-        Bullock formation condition.
+        Bullock formation condition and for the Mead (2017) collapse fits.
     growth_z : (nz,) growth factor at the table redshifts.
     dolag_ratio : scalar (g_DE / g_LCDM)(z -> inf) ** 1.5 concentration
         correction (1 for LCDM).
+    z : (nz,) table redshifts; required for ``collapse='mead2017'`` (the
+        default) and for the feedback z-scalings — falls back to
+        ``collapse='ns97'`` when omitted.
+    collapse : 'mead2017' (HMcode-2020 spec) or 'ns97' (Nakamura-Suto /
+        Bryan-Norman fallback).
+    logT_AGN : None for the dark-matter-only spectrum, else
+        log10(T_AGN / K) selecting the mead2020_feedback baryonic response
+        (published central value: 7.8).
+    Omega_k0, w0, wa : curvature and CPL dark-energy parameters for the
+        radiation-free Mead growth ODE (only used by ``collapse='mead2017'``).
 
     Returns (nk, nz).
     """
@@ -175,6 +294,8 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     Omega_mz = jnp.atleast_1d(jnp.asarray(Omega_mz))
     growth_z = jnp.atleast_1d(jnp.asarray(growth_z))
     nz = Omega_mz.shape[0]
+    if z is not None:
+        z = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(z)), (nz,))
 
     R = jnp.asarray(np.geomspace(*Rrange, num=nR))
     lnR = jnp.log(R)
@@ -182,8 +303,14 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     lnsig2 = jnp.log(jnp.maximum(sig2, 1e-300))
     M2 = natural_cubic_coeffs(lnR, lnsig2)                # spline coeffs
 
-    dc = delta_c(Omega_mz, fnu)                           # (nz,)
-    Dv = Delta_v(Omega_mz, fnu)
+    if collapse == 'mead2017' and z is not None:
+        g_ratio, G_ratio = mead_growth_ratios(z, omega_m / h ** 2,
+                                              Omega_k0=Omega_k0, w0=w0, wa=wa)
+        dc = delta_c_mead(Omega_mz, g_ratio, G_ratio, fnu)   # (nz,)
+        Dv = Delta_v_mead(Omega_mz, g_ratio, G_ratio, fnu)
+    else:
+        dc = delta_c(Omega_mz, fnu)                          # (nz,)
+        Dv = Delta_v(Omega_mz, fnu)
 
     # sigma8_cb(z) for the fitted-parameter relations
     ln_s8sq = cubic_eval(lnR, lnsig2, M2, jnp.log(jnp.array([8.0])))[0]  # (nz,)
@@ -195,7 +322,12 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     kstar = _KSTAR_A * sigma8z ** _KSTAR_P
     f2h = _F2H_A * sigma8z ** _F2H_P
     kd = _KD_A * sigma8z ** _KD_P
-    eta = _ETA_A * sigma8z ** _ETA_P
+    # halo bloating is part of the dark-matter-only calibration; the baryon
+    # response recipe runs with eta = 0 — with bloating left on, the
+    # Table-5 concentration amplitude B(theta) over-suppresses the response
+    # (~30% at k ~ 10 for logT_AGN = 7.8 instead of the published ~20%)
+    eta = (_ETA_A * sigma8z ** _ETA_P if logT_AGN is None
+           else jnp.zeros_like(sigma8z))
     alpha = _ALPHA_A * _ALPHA_B ** neff
 
     # ---- two-halo: de-wiggled, damped linear total-matter spectrum
@@ -216,7 +348,15 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     af = jnp.interp(g_needed, jnp.asarray(growth_g), jnp.asarray(growth_a))
     a_z = jnp.interp(growth_z, jnp.asarray(growth_g), jnp.asarray(growth_a))
     af = jnp.minimum(af, a_z[None, :])                    # zf >= z
-    conc = _B_MIN * (1.0 / af) * a_z[None, :] * dolag_ratio  # B (1+zf)/(1+z)
+    if logT_AGN is None:
+        B = _B_MIN
+    else:
+        if z is None:
+            raise ValueError("mead2020_feedback needs the table redshifts: pass z=")
+        theta = jnp.asarray(logT_AGN) - 7.8
+        B = (_FB_B0 + _FB_B_T * theta) * 10.0 ** (z * (_FB_BZ0 + _FB_BZ_T * theta))
+        B = B[None, :]                                    # (1, nz)
+    conc = B * (1.0 / af) * a_z[None, :] * dolag_ratio    # B (1+zf)/(1+z)
 
     # halo scale radii: rv = R / Dv^(1/3), rs = rv / c
     rv = R[:, None] / Dv[None, :] ** (1.0 / 3.0)          # (nR, nz)
@@ -236,10 +376,31 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
            * (rv / conc)[None, :, :])                     # (nk1h, nR, nz)
     u = nfw_window(krs, conc[None, :, :])
 
-    # one-halo integral over lnR: P_1h = int dlnR dnu/dlnR f(nu) (M/rho) u^2
+    # halo window in units of M/rho: (1 - f_nu) u for the matter-only
+    # spectrum (neutrinos are smooth); with feedback, the Mead et al. 2021
+    # §5 baryon recipe — CDM + bound gas trace NFW, stars are a point mass,
+    # expelled gas leaves the halo: win -> (f_c + f_g(M)) u + f*, which
+    # recovers (1 - f_nu) u for M >> M_b, f* -> 0
+    if logT_AGN is None:
+        win = (1.0 - fnu) * u
+    else:
+        from ..constants import rho_crit_over_Msunph_per_Mpcph3
+        fb = omega_b / omega_m
+        fstar = jnp.minimum((_FB_F0 + _FB_F_T * theta)
+                            * 10.0 ** (z * (_FB_FZ0 + _FB_FZ_T * theta)), fb)  # (nz,)
+        Mb = 10.0 ** (_FB_MB0 + _FB_MB_T * theta
+                      + z * (_FB_MBZ0 + _FB_MBZ_T * theta))                    # (nz,) Msun/h
+        # Lagrangian halo mass at comoving mean matter density, Msun/h
+        M = (4.0 * np.pi / 3.0) * (rho_crit_over_Msunph_per_Mpcph3 * 1e10
+                                   * omega_m / h ** 2) * R ** 3                # (nR,)
+        fg = (fb - fstar)[None, :] / (1.0 + (Mb[None, :] / M[:, None]) ** _FB_BETA)  # (nR, nz)
+        fc = 1.0 - fb - fnu
+        win = (fc + fg)[None, :, :] * u + fstar[None, None, :]
+
+    # one-halo integral over lnR: P_1h = int dlnR dnu/dlnR f(nu) (M/rho) win^2
     dlnR = lnR[1] - lnR[0]
     w_int = dnu_dlnR * _st_f(nu) * (4.0 * np.pi / 3.0) * R[:, None] ** 3 * dlnR  # (nR, nz)
-    pk_1h_sub = jnp.einsum('rz,krz->kz', w_int, u ** 2)
+    pk_1h_sub = jnp.einsum('rz,krz->kz', w_int, win ** 2)
     if len(isub) < nk:
         lnk = jnp.log(k)
         ln_p1h = jnp.log(jnp.maximum(pk_1h_sub, 1e-300))
@@ -247,7 +408,6 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
         pk_1h = jnp.exp(cubic_eval(lnk[isub], ln_p1h, Mk, lnk))
     else:
         pk_1h = pk_1h_sub
-    pk_1h = pk_1h * (1.0 - fnu) ** 2                      # smooth neutrinos
     kks = (k[:, None] / kstar[None, :]) ** 4
     delta2_1h = (k[:, None] ** 3 / (2 * np.pi ** 2)) * pk_1h * kks / (1.0 + kks)
 
@@ -263,7 +423,8 @@ def hmcode_pk_interpolator(pk2d_m, background, cosmo_params, pk2d_cb=None, **kwa
     ``pk2d_m`` (and optionally ``pk2d_cb``): linear interpolators;
     ``background``: section providing Omega_m(z) and the growth tables;
     ``cosmo_params``: dict with omega_m, omega_b, h, T_cmb, n_s, fnu,
-    w0_fld, wa_fld and optionally ``dolag_ratio``.
+    w0_fld, wa_fld and optionally ``dolag_ratio``, ``collapse``
+    ('mead2017'/'ns97') and ``logT_AGN`` (mead2020_feedback response).
     """
     k, z = pk2d_m.k, pk2d_m.z
     zz = jnp.atleast_1d(jnp.asarray(z))
@@ -296,7 +457,11 @@ def hmcode_pk_interpolator(pk2d_m, background, cosmo_params, pk2d_cb=None, **kwa
         h=cosmo_params['h'], theta_cmb=cosmo_params.get('theta_cmb', 1.0),
         ns=cosmo_params.get('n_s', 0.96),
         growth_a=a_grid, growth_g=growth_g, growth_z=growth_z,
-        dolag_ratio=cosmo_params.get('dolag_ratio', 1.0))
+        dolag_ratio=cosmo_params.get('dolag_ratio', 1.0), z=zz,
+        collapse=cosmo_params.get('collapse', 'mead2017'),
+        logT_AGN=cosmo_params.get('logT_AGN'),
+        Omega_k0=cosmo_params.get('Omega_k', 0.0),
+        w0=cosmo_params.get('w0_fld', -1.0), wa=cosmo_params.get('wa_fld', 0.0))
     if zz.shape[0] == 1:  # single-z table: serve it flat in z
         from jax.tree_util import Partial
         kwargs.setdefault('growth_factor_sq', Partial(jnp.ones_like))

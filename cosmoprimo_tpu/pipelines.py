@@ -16,10 +16,12 @@ from .fftlog import PowerToCorrelation
 
 
 
-def apply_non_linear(non_linear, cosmo, ba, k, pkz, z, omega_b, h, n_s):
+def apply_non_linear(non_linear, cosmo, ba, k, pkz, z, omega_b, h, n_s, logT_AGN=7.8):
     """Shared non-linear dispatch for the pipeline factories: push the
     linear P(k, z) table through the native halofit or HMcode-2020
-    transform (models/halofit.py, models/hmcode.py)."""
+    transform (models/halofit.py, models/hmcode.py).
+    ``non_linear='mead2020_feedback'`` selects the baryonic T_AGN response
+    at ``logT_AGN`` (published central value 7.8)."""
     if not non_linear:
         return pkz
     zz = jnp.atleast_1d(z)
@@ -29,7 +31,7 @@ def apply_non_linear(non_linear, cosmo, ba, k, pkz, z, omega_b, h, n_s):
                        cosmo['w0_fld'] + cosmo['wa_fld'] * zz / (1.0 + zz),
                        fnu=cosmo['Omega_ncdm_tot'] / cosmo['Omega_m'],
                        Omega_m0=cosmo['Omega_m'])
-    if non_linear in ('mead', 'hmcode'):
+    if non_linear in ('mead', 'hmcode', 'mead2020', 'hmcode2020', 'mead2020_feedback'):
         from . import constants
         from .models.hmcode import hmcode2020
         a_grid = jnp.asarray(np.geomspace(1e-3, 1.0, 128))
@@ -38,7 +40,10 @@ def apply_non_linear(non_linear, cosmo, ba, k, pkz, z, omega_b, h, n_s):
                           omega_m=cosmo['Omega_m'] * h ** 2, omega_b=omega_b,
                           h=h, theta_cmb=constants.TCMB / 2.7, ns=n_s,
                           growth_a=a_grid, growth_g=ba.growth_factor(1.0 / a_grid - 1.0),
-                          growth_z=ba.growth_factor(zz))
+                          growth_z=ba.growth_factor(zz), z=zz,
+                          logT_AGN=logT_AGN if non_linear == 'mead2020_feedback' else None,
+                          Omega_k0=cosmo['Omega_k'],
+                          w0=cosmo['w0_fld'], wa=cosmo['wa_fld'])
     raise ValueError(f'unknown non_linear {non_linear!r}')
 
 

@@ -1,7 +1,8 @@
 """HMcode-2020 tests: special-function parity with scipy, NFW window
-limits, quasi-linear agreement, cross-check against the native halofit, and
-jit/vmap/jacfwd contracts. (No HMcode oracle exists in this zero-egress
-image — see models/hmcode.py docstring for the documented substitutions.)"""
+limits, Mead (2017) collapse fits, quasi-linear agreement, cross-check
+against the native halofit, the mead2020_feedback baryonic response, and
+jit/vmap/jacfwd contracts. The structurally independent scipy oracle lives
+in test_independent_oracle.py."""
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,40 @@ def test_delta_c_Delta_v():
     assert abs(float(Delta_v(jnp.array(1.0))) - 18 * np.pi ** 2) < 1e-6
     # neutrino multipliers
     assert float(delta_c(jnp.array(0.3), fnu=0.1)) > float(delta_c(jnp.array(0.3)))
+
+
+def test_mead_collapse_fits():
+    """Mead (2017) fitted delta_c / Delta_v: exact EdS limits, the known
+    LCDM Omega_m = 0.3 growth ratio g(1) = 0.779, delta_c within 0.5% of
+    Nakamura-Suto (the paper reports sub-percent differences), and Delta_v
+    5-12% *below* Bryan-Norman (Mead 2017 shows BN98, calibrated on open
+    models, overestimates Delta_v for flat LCDM)."""
+    from cosmoprimo_tpu.models.hmcode import Delta_v_mead, delta_c_mead, mead_growth_ratios
+    one = jnp.array([1.0])
+    assert abs(float(delta_c_mead(one, one, one)[0]) - 1.68647 * 1.0001) < 2e-4
+    assert abs(float(Delta_v_mead(one, one, one)[0]) - 18 * np.pi ** 2) < 1e-9
+    x, y = mead_growth_ratios(jnp.array([0.0]), 0.3)
+    assert abs(float(x[0]) - 0.779) < 2e-3      # textbook LCDM growth
+    assert 0.9 < float(y[0]) < 1.0              # accumulated growth ratio
+    Om = jnp.array([0.3])
+    dc = float(delta_c_mead(Om, x, y)[0])
+    Dv = float(Delta_v_mead(Om, x, y)[0])
+    assert abs(dc / float(delta_c(Om)[0]) - 1) < 5e-3
+    assert 0.88 < Dv / float(Delta_v(Om)[0]) < 0.95
+    # neutrino multipliers carried over
+    assert float(delta_c_mead(Om, x, y, fnu=0.1)[0]) > dc
+
+
+def test_mead_growth_ratios_eds():
+    """In EdS the radiation-free growth is g = a exactly, so both ratios
+    are 1 at every z, and in the far past any cosmology is EdS."""
+    from cosmoprimo_tpu.models.hmcode import mead_growth_ratios
+    z = jnp.array([0.0, 1.0, 3.0])
+    x, y = mead_growth_ratios(z, 1.0)
+    np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)
+    x3, y3 = mead_growth_ratios(jnp.array([9.0]), 0.3)
+    assert float(x3[0]) > 0.995 and float(y3[0]) > 0.995
 
 
 def test_sigma_tophat_vs_quadrature(cosmo):
@@ -177,10 +212,54 @@ def test_nonlinear_snapshot_regression(cosmo):
         [4667.00926081, 803.12040248, 84.70172984, 9.68778571], rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(hm(k, 0.0)),
-        [12300.40312522, 2152.48480799, 301.48566434, 28.71907459], rtol=1e-5)
+        [12300.45955876, 2152.25598316, 298.08681602, 27.44745238], rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(hm(k, 1.0)),
-        [4685.19776702, 772.73499318, 65.27025525, 6.70826302], rtol=1e-5)
+        [4685.19747726, 772.72258093, 65.16709616, 6.61396016], rtol=1e-5)
+
+
+def test_mead2020_feedback_response(cosmo):
+    """The T_AGN baryonic response (mead2020_feedback): neutral at linear
+    scales, suppression with the published depth/location (BAHAMAS-matched:
+    ~20% minimum near k ~ 10 h/Mpc for logT_AGN = 7.8), monotonic in
+    T_AGN, and the gas-depletion dip recovering toward the stellar term at
+    the smallest scales."""
+    import cosmoprimo_tpu.models.hmcode as hmmod
+    fo = cosmo.get_fourier()
+    ba = cosmo.get_background()
+    lin = fo.pk_interpolator()
+    k = np.geomspace(1e-3, 30.0, 200)
+
+    def response(logT):
+        params = dict(fo._hm_params)
+        dmo = hmmod.hmcode_pk_interpolator(lin, ba, params)
+        params['logT_AGN'] = logT
+        fb = hmmod.hmcode_pk_interpolator(lin, ba, params)
+        return np.asarray(fb(k, 0.0)) / np.asarray(dmo(k, 0.0))
+
+    S76, S78, S80 = response(7.6), response(7.8), response(8.0)
+    for S in (S76, S78, S80):
+        assert np.all(np.abs(S[k < 0.03] - 1) < 0.01)       # linear scales
+        assert np.isfinite(S).all()
+    # published minimum for the central temperature: ~0.75-0.85 at k ~ 5-20
+    i78 = int(S78.argmin())
+    assert 0.70 < S78[i78] < 0.88 and 4.0 < k[i78] < 25.0
+    # hotter AGN expel more gas: suppression strictly deeper
+    assert S80.min() < S78.min() < S76.min() < 0.95
+    # dip recovers at the high-k end (stars): S rises after the minimum
+    assert S78[-1] > S78[i78] + 0.005
+
+
+def test_mead2020_feedback_engine_dispatch(cosmo):
+    """non_linear='mead2020_feedback' through the engine surface, honoring
+    the CAMB-compatible HMCode_logT_AGN extra parameter."""
+    k = np.array([3.0])
+    p_dmo = float(np.asarray(cosmo.get_fourier().pk_interpolator(non_linear='mead')(k, 0.0)))
+    p_fb = float(np.asarray(cosmo.get_fourier().pk_interpolator(non_linear='mead2020_feedback')(k, 0.0)))
+    assert 0.7 < p_fb / p_dmo < 1.0
+    hot = Cosmology(engine='eisenstein_hu', extra_params={'HMCode_logT_AGN': 8.2}, **PARAMS)
+    p_hot = float(np.asarray(hot.get_fourier().pk_interpolator(non_linear='mead2020_feedback')(k, 0.0)))
+    assert p_hot < p_fb
 
 
 def test_hmcode_variants_engine_cb():
