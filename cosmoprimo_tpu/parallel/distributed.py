@@ -128,12 +128,14 @@ class JaxDistributedComm(object):
         return values[self.rank]
 
     def send(self, value, dest=0, tag=0):
-        """Point-to-point over the broadcast collective: all ranks must call
-        sendrecv-style (source calls send, every other rank calls recv with
+        """Point-to-point over the broadcast collective: all ranks must
+        participate (the source calls send, every other rank calls recv with
         the matching source) — same collective-participation requirement as
-        the underlying DCN primitives. The (dest, tag) metadata rides along
-        so a mismatched pairing fails loudly instead of cross-delivering.
-        At size 1, send/recv degrade to a local mailbox (like FakeComm)."""
+        the underlying DCN primitives. The (dest, tag) metadata rides along:
+        bystander ranks (dest != rank) get None back, and the true
+        destination fails loudly on a tag mismatch instead of
+        cross-delivering. At size 1, send/recv degrade to a local mailbox
+        (like FakeComm)."""
         if self.size == 1:
             self._mailbox.setdefault(tag, []).append(value)
             return
@@ -147,7 +149,9 @@ class JaxDistributedComm(object):
         if packet is None:  # source broadcast nothing (no paired send)
             return None
         dest, sent_tag, value = packet
-        if dest != self.rank or sent_tag != tag:
+        if dest != self.rank:
+            return None  # bystander rank participating in the collective
+        if sent_tag != tag:
             raise RuntimeError(
                 f'mismatched point-to-point pairing: rank {source} sent to rank {dest} '
                 f'with tag {sent_tag}, but rank {self.rank} expected tag {tag}')
