@@ -43,7 +43,9 @@ def find_names(allnames, patterns):
 
 
 def expand_dict(di, names):
-    """Map each name to the value of the first matching (wildcard) key."""
+    """Map each name to the value of the LAST matching (wildcard) key, so
+    later, more specific patterns override earlier globs (the reference's
+    tools/utils.py:230 semantics)."""
     toret = {name: None for name in names}
     for pattern, value in di.items():
         for name in find_names(names, pattern):

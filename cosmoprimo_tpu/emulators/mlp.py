@@ -208,8 +208,18 @@ class MLPEmulatorEngine(BaseEmulatorEngine):
             params, batch_stats, opt_state, tx = init_train_state(model, jax.random.PRNGKey(seed), X[:1],
                                                                   learning_rate=lr, optimizer=optimizer, mesh=mesh)
             if best_params is not None:
-                params, batch_stats = best_params, best_stats
+                # copies, not the retained best: the train step donates its
+                # param buffers, which would delete best_params in place
+                params = jax.tree_util.tree_map(jnp.array, best_params)
+                batch_stats = jax.tree_util.tree_map(jnp.array, best_stats)
                 opt_state = tx.init(params)
+            else:
+                # keep the freshly initialized network as the fallback export:
+                # a run whose validation loss never lands finite (tiny smoke
+                # fits, divergent schedules) must still export a servable
+                # (if useless) operation chain instead of crashing on None
+                best_params = jax.tree_util.tree_map(jnp.array, params)
+                best_stats = jax.tree_util.tree_map(jnp.array, batch_stats)
             step = make_train_step(model, tx, mesh=mesh, loss='mse' if self.loss == 'mse' else self.loss)
 
             @jax.jit
@@ -223,6 +233,11 @@ class MLPEmulatorEngine(BaseEmulatorEngine):
                     sl = slice(ib * batch_size, (ib + 1) * batch_size)
                     params, batch_stats, opt_state, _ = step(params, batch_stats, opt_state, X_train[sl], Y_train[sl])
                 loss = float(val_loss(params, batch_stats))
+                if not np.isfinite(loss):  # divergence counts as a stall
+                    stall += 1
+                    if stall >= pat:
+                        break
+                    continue
                 if loss < best_loss:
                     best_loss, stall = loss, 0
                     best_params = jax.tree_util.tree_map(jnp.array, params)

@@ -92,19 +92,55 @@ def build_cosmology(engine, config, **extra_params):
     return DESI(engine=engine, extra_params=extra_params or None, **kwargs)
 
 
+def _recipe_section(args):
+    """(recipe, section dict) for --recipe runs; each section carries its
+    own parameter box / cosmology / operations (recipes.py)."""
+    from .recipes import RECIPES
+    recipe = RECIPES[args.recipe]
+    if not args.section:
+        raise SystemExit(f'--recipe {args.recipe} needs --section '
+                         f'(one of {sorted(recipe["sections"])})')
+    return recipe, recipe['sections'][args.section]
+
+
 def sample(args):
     from .. import QMCSampler, Samples, get_calculator
 
-    cosmo = build_cosmology(args.engine, args.config)
-    params = CONFIGS[args.config]
-    reparam = None
-    if args.theta:
-        update_params, reparam = make_reparam(cosmo, list(params))
-        params = update_params(params)
+    if args.recipe:
+        from ...fiducial import DESI
+        recipe, section = _recipe_section(args)
+        extra_params = dict(section.get('extra_params', {}))
+        cosmo = DESI(engine=args.engine or recipe['engine'],
+                     extra_params=extra_params or None,
+                     **{**recipe.get('cosmo', {}), **section.get('cosmo', {})})
+        params = dict(section['params'])
+        qmc = dict(recipe.get('sampler', {'engine': 'rqrs'}))
+        if args.seed is not None:
+            qmc['seed'] = args.seed
+        calculator_sections = section.get('calculator_sections', [args.section])
+        # engine overrides (e.g. analytic smoke runs) may not provide every
+        # section the production engine does: keep the available subset
+        available = list(cosmo.engine._Section_classes)
+        calculator_sections = [s for s in calculator_sections if s in available]
+        save_every = section.get('save_every', args.save_every)
+        reparam = None
+        if recipe.get('theta'):
+            update_params, reparam = make_reparam(cosmo, list(params), limits=recipe['theta'])
+            params = update_params(params)
+    else:
+        cosmo = build_cosmology(args.engine, args.config)
+        params = CONFIGS[args.config]
+        qmc = dict(engine='rqrs', seed=args.seed)
+        calculator_sections = args.section or None
+        save_every = args.save_every
+        reparam = None
+        if args.theta:
+            update_params, reparam = make_reparam(cosmo, list(params))
+            params = update_params(params)
 
-    calculator = get_calculator(cosmo, section=args.section or None)
-    sampler = QMCSampler(calculator, params, engine='rqrs', seed=args.seed, reparam=reparam,
-                         save_fn=args.samples_fn, save_every=args.save_every)
+    calculator = get_calculator(cosmo, section=calculator_sections)
+    sampler = QMCSampler(calculator, params, reparam=reparam,
+                         save_fn=args.samples_fn, save_every=save_every, **qmc)
     samples = sampler.run(niterations=args.stop - args.start,
                           resume_from=args.samples_fn if args.resume else None)
     samples.write(args.samples_fn)
@@ -144,9 +180,64 @@ _FIT_SCHEDULES = {
 }
 
 
+def _prepare_samples(samples, prepare):
+    """Named sample transforms of the reference fits: Omega_m
+    reparametrization of the background inputs (train_classy.py:122-124,
+    train_camb.py:127)."""
+    import numpy as np
+    if prepare in ('omega_to_Omega_m', 'add_Omega_m'):
+        samples['X.Omega_m'] = ((np.asarray(samples['X.omega_cdm']) + np.asarray(samples['X.omega_b']))
+                                / np.asarray(samples['X.h']) ** 2)
+        if prepare == 'omega_to_Omega_m':
+            del samples['X.omega_cdm']
+            del samples['X.omega_b']
+    elif prepare:
+        raise ValueError(f'unknown prepare transform {prepare!r}')
+    return samples
+
+
+def fit_recipe(args):
+    """Fit one section with the recipe's exact operation layout and staged
+    schedule (reference train_classy.py:95-180 / train_camb.py:104-170)."""
+    from .. import Emulator, FourierNormOperation, Samples
+    from .recipes import build_engines
+
+    recipe, section = _recipe_section(args)
+    samples = Samples.read(args.samples_fn)
+    keep = [name for name in samples if name.startswith(('X.', f'Y.{args.section}.'))]
+    include = section.get('include')
+    if include:
+        keep = [name for name in keep if not name.startswith('X.') or name in include]
+    for name in section.get('exclude', []):
+        if name in keep:
+            keep.remove(name)
+    samples.pop('X.theta_MC_100', None)
+    sub = Samples({name: samples[name] for name in keep if name in samples}, attrs=samples.attrs)
+    mask = sub.isfinite()
+    if not mask.all():
+        print(f'{args.section}: dropping {int((~mask).sum())}/{mask.size} non-finite samples')
+        sub = sub.select(mask)
+    sub = _prepare_samples(sub, section.get('prepare'))
+
+    emulator = Emulator.read(args.emulator_fn) if os.path.exists(args.emulator_fn) else Emulator()
+    emulator.set_engine(build_engines(section['engines'], samples=sub))
+    emulator.yoperations = ([FourierNormOperation(ref_pk_name='fourier.pk.delta_cb.delta_cb')]
+                            if 'fourier_norm' in section.get('yoperations', []) else [])
+    emulator.set_samples(samples=sub)
+    schedule = dict(section['fit'])
+    if args.epochs:
+        schedule['epochs'] = args.epochs
+        schedule['patience'] = min(schedule.get('patience', args.epochs), args.epochs)
+    emulator.fit(name=f'{args.section}.*', **schedule)
+    emulator.write(args.emulator_fn)
+    print(f'{args.section} [{args.recipe}] -> {args.emulator_fn}')
+
+
 def fit(args):
     from .. import Emulator, FourierNormOperation, Samples
 
+    if args.recipe:
+        return fit_recipe(args)
     samples = Samples.read(args.samples_fn)
     emulator = Emulator.read(args.emulator_fn) if os.path.exists(args.emulator_fn) else Emulator()
     emulator.set_engine(_engines_for(args.section, nhidden_scale=args.nhidden_scale))
@@ -194,7 +285,12 @@ def plot(args):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     parser.add_argument('--todo', required=True, choices=['sample', 'fit', 'plot'])
-    parser.add_argument('--engine', default='class', help='any registered engine (class, camb, '
+    parser.add_argument('--recipe', default=None,
+                        help='named production recipe (recipes.py: classy-base_mnu_w_wa, '
+                             'camb-base_w_wa, camb-base_mnu_w_wa, axiclassy-base) carrying the '
+                             "reference's parameter boxes, operation chains and fit schedules; "
+                             'overrides --engine/--config')
+    parser.add_argument('--engine', default=None, help='any registered engine (class, camb, '
                         'axiclass, ... if installed; eisenstein_hu for smoke tests)')
     parser.add_argument('--config', default='base_w_wa', choices=sorted(CONFIGS))
     parser.add_argument('--section', default=None,
@@ -222,7 +318,17 @@ def main(argv=None):
         jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_enable_x64', True)
 
-    tag = f'{args.engine}_{args.config}'
+    if args.recipe:
+        from .recipes import RECIPES
+        if args.recipe not in RECIPES:
+            raise SystemExit(f'unknown recipe {args.recipe!r}; choose from {sorted(RECIPES)}')
+        if args.engine is None:
+            args.engine = RECIPES[args.recipe]['engine']
+        tag = args.recipe + (f'_{args.section}' if args.section else '')
+    else:
+        if args.engine is None:
+            args.engine = 'class'
+        tag = f'{args.engine}_{args.config}'
     if args.samples_fn is None:
         args.samples_fn = os.path.join(args.outdir, tag, 'samples.npy')
     if args.emulator_fn is None:
