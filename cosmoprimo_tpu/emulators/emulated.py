@@ -509,3 +509,27 @@ class CambMnuW0WaCMBEngine(EmulatedEngine):
     name = 'emu_camb_mnu_w_wa_cmb'
     path = os.path.join(os.getenv('COSMOPRIMO_EMULATOR_DIR', os.path.join(os.path.expanduser('~'), '.cosmoprimo', 'emulators')),
                         'camb_base_mnu_w_wa', 'emulator.npy')
+
+
+@register_engine
+class CosmopowerJense2024Engine(EmulatedEngine):
+    """cosmopower pretrained emulator (Jense et al. 2024, the
+    cosmopower_jense2024_* release family; reference conversion.py:352-353).
+    Serve from a locally provided source, either:
+
+    - a converted emulator file at
+      ``$COSMOPRIMO_EMULATOR_DIR/cosmopower_jense2024/emulator.npy``, or
+    - the raw release directory (networks/*.npz) at
+      ``$COSMOPRIMO_EMULATOR_DIR/cosmopower_jense2024_base`` — convert it
+      once with
+      ``convert_cosmopower_release_to_cosmoprimo`` (emulators/conversion.py)
+      and write the result to the path above.
+
+    This build is zero-egress: the reference downloads these files from
+    GitHub on first use (reference emulators/hybrid.py:8-38); here they
+    must be placed locally.
+    """
+
+    name = 'cosmopower_jense2024'
+    path = os.path.join(os.getenv('COSMOPRIMO_EMULATOR_DIR', os.path.join(os.path.expanduser('~'), '.cosmoprimo', 'emulators')),
+                        'cosmopower_jense2024', 'emulator.npy')

@@ -298,3 +298,92 @@ class ChebyshevOperation(Operation):
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+
+
+@register_operation
+class SplitDerivedOperation(Operation):
+    """Unpack a packed derived-parameter vector (e.g. cosmopower's
+    'thermodynamics.all': [..., z_star, rs_star, z_drag, rs_drag, ...])
+    into named quantities at serving time, optionally rescaling sound
+    horizons from Mpc to Mpc/h (reference conversion.py:248-257, here as a
+    typed operation instead of an exec-string — our expression sandbox is
+    expression-only by design)."""
+
+    name = 'split_derived'
+
+    def __init__(self, conversion=None, key='thermodynamics.all',
+                 h_scale=('thermodynamics.rs_drag', 'thermodynamics.rs_star')):
+        self.conversion = dict(conversion or {})
+        self.key = str(key)
+        self.h_scale = tuple(h_scale)
+        super().__init__('v')
+
+    def __call__(self, v, X=None, cosmo=None):
+        # training direction: drop the unpacked names (the packed vector is
+        # the stored target); converted emulators never fit, so this is
+        # only for symmetry
+        return {name: value for name, value in dict(v).items()
+                if name not in self.conversion}
+
+    def inverse(self, v, X=None, cosmo=None):
+        v = dict(v)
+        if self.key not in v:
+            return v
+        derived = v.pop(self.key)
+        for name, index in self.conversion.items():
+            value = derived[..., index]
+            if name in self.h_scale and X is not None:
+                value = value * X['h']
+            v[name] = value
+        return v
+
+    def __getstate__(self):
+        return {'name': self.name, 'conversion': self.conversion, 'key': self.key,
+                'h_scale': list(self.h_scale)}
+
+    def __setstate__(self, state):
+        self.conversion = dict(state['conversion'])
+        self.key = state['key']
+        self.h_scale = tuple(state['h_scale'])
+        self._direct, self._inverse, self._locals = 'v', None, {}
+        self.input_type = None
+
+
+@register_operation
+class FourierUnitOperation(Operation):
+    """Convert served fourier tables from the foreign network's units to
+    this framework's (Mpc/h, (Mpc/h)^3) convention: k -> k / h and
+    (optionally, for cosmopower v1 networks trained in Mpc^3) pk -> pk h^3
+    (reference conversion.py:259-263)."""
+
+    name = 'fourier_unit'
+
+    def __init__(self, pk_h3=True):
+        self.pk_h3 = bool(pk_h3)
+        super().__init__('v')
+
+    def __call__(self, v, X=None, cosmo=None):
+        v = dict(v)
+        if 'fourier.k' in v and X is not None:
+            v['fourier.k'] = v['fourier.k'] * X['h']
+            if self.pk_h3:
+                v = {name: value / X['h'] ** 3 if name.startswith('fourier.pk') else value
+                     for name, value in v.items()}
+        return v
+
+    def inverse(self, v, X=None, cosmo=None):
+        v = dict(v)
+        if 'fourier.k' in v and X is not None:
+            v['fourier.k'] = v['fourier.k'] / X['h']
+            if self.pk_h3:
+                v = {name: value * X['h'] ** 3 if name.startswith('fourier.pk') else value
+                     for name, value in v.items()}
+        return v
+
+    def __getstate__(self):
+        return {'name': self.name, 'pk_h3': self.pk_h3}
+
+    def __setstate__(self, state):
+        self.pk_h3 = bool(state['pk_h3'])
+        self._direct, self._inverse, self._locals = 'v', None, {}
+        self.input_type = None

@@ -407,3 +407,193 @@ def test_train_boltzmann_cli(tmp_path):
                         __import__('cosmoprimo_tpu.emulators.train.train_boltzmann',
                                    fromlist=['CONFIGS']).CONFIGS['base'].items()})
     assert np.isfinite(np.asarray(pred['thermodynamics.rs_drag']))
+
+
+def test_jaxmapse_conversion(tmp_path):
+    """Convert a synthetic jaxmapse-format (jaxace) Pk network and verify
+    the prediction against a manual numpy forward pass of the foreign net
+    (VERDICT round 2: per-format synthetic round-trip)."""
+    import json
+    from cosmoprimo_tpu.emulators.conversion import convert_jaxmapse_to_cosmoprimo
+
+    rng = np.random.default_rng(7)
+    n_in, hidden, n_out = 5, [16], 32
+    sizes = [n_in] + hidden + [n_out]
+    weights, raw = [], []
+    for i in range(len(sizes) - 1):
+        W = rng.normal(size=(sizes[i + 1], sizes[i])) * 0.3
+        b = rng.normal(size=sizes[i + 1]) * 0.1
+        raw.append((W, b))
+        weights.append(W.ravel(order='F'))
+        weights.append(b)
+    nn_dict = {'n_input_features': n_in, 'n_output_features': n_out,
+               'layers': {'layer_1': {'n_neurons': hidden[0], 'activation_function': 'silu'}}}
+    d = tmp_path / 'plin'
+    d.mkdir()
+    np.save(d / 'weights.npy', np.concatenate(weights))
+    inminmax = np.stack([np.full(n_in, -1.0), np.full(n_in, 3.0)], axis=-1)
+    outminmax = np.stack([np.full(n_out, 2.0), np.full(n_out, 6.0)], axis=-1)
+    np.save(d / 'nminmax.npy', inminmax)
+    np.save(d / 'outminmax.npy', outminmax)
+    np.save(d / 'k.npy', np.geomspace(1e-4, 10.0, n_out))
+    with open(d / 'nn_setup.json', 'w') as f:
+        json.dump(nn_dict, f)
+
+    emu = convert_jaxmapse_to_cosmoprimo(tmp_path)
+    assert 'fourier.pk.delta_cb.delta_cb' in emu.engines
+    assert np.allclose(np.asarray(emu.fixed['fourier.k']), np.geomspace(1e-4, 10.0, n_out))
+    X = {'logA': 3.0, 'n_s': 0.96, 'H0': 67.0, 'omega_b': 0.022, 'omega_cdm': 0.12}
+    pred = np.asarray(emu.predict(X)['fourier.pk.delta_cb.delta_cb'])
+    # manual foreign forward: minmax-normalize, dense->silu->dense, denorm
+    x = np.array([X[p] for p in ['logA', 'n_s', 'H0', 'omega_b', 'omega_cdm']])
+    h = (x - inminmax[:, 0]) / (inminmax[:, 1] - inminmax[:, 0])
+    (W0, b0), (W1, b1) = raw
+    h = W0 @ h + b0
+    h = h / (1 + np.exp(-h))
+    h = W1 @ h + b1
+    expected = h * (outminmax[:, 1] - outminmax[:, 0]) + outminmax[:, 0]
+    np.testing.assert_allclose(pred, expected, rtol=1e-10)
+
+
+def _cosmopower_net(rng, n_in, n_out):
+    """Synthetic cosmopower network arrays + its numpy forward pass."""
+    W0, b0 = rng.normal(size=(n_in, 12)) * 0.3, rng.normal(size=12) * 0.1
+    W1, b1 = rng.normal(size=(12, n_out)) * 0.3, rng.normal(size=n_out) * 0.1
+    a0, be0 = rng.normal(size=12), rng.normal(size=12)
+
+    def forward(x):
+        h = x @ W0 + b0
+        h = (be0 + (1 - be0) / (1 + np.exp(-a0 * h))) * h
+        return h @ W1 + b1
+
+    arrays = dict(n_layers=2, W_0=W0, b_0=b0, W_1=W1, b_1=b1, alphas_0=a0, betas_0=be0)
+    return arrays, forward
+
+
+def test_cosmopower_jense2024_release(tmp_path):
+    """Convert a synthetic cosmopower_jense2024-layout release directory
+    ('v2': networks/*Cl_tt*, *derived*) and verify the Cl against the
+    foreign net's numpy forward pass plus the published serving
+    conventions (10**, ell(ell+1)/2pi removal, ell = 0, 1 rows), and the
+    packed derived vector unpacked with rs_drag, rs_star in Mpc/h."""
+    from cosmoprimo_tpu.emulators.conversion import convert_cosmopower_release_to_cosmoprimo
+
+    rng = np.random.default_rng(11)
+    d = tmp_path / 'cosmopower_jense2024_base' / 'networks'
+    d.mkdir(parents=True)
+    n_in, n_ell = 6, 40
+    params = ['ombh2', 'omch2', 'H0', 'logA', 'ns', 'tau']
+    cl_arrays, cl_forward = _cosmopower_net(rng, n_in, n_ell)
+    xmean, xstd = np.linspace(0.5, 1.5, n_in), np.full(n_in, 0.2)
+    ymean, ystd = np.full(n_ell, -10.0), np.full(n_ell, 0.5)
+    np.savez(d / 'jense_Cl_tt_net.npz', parameters=np.array(params),
+             param_train_mean=xmean, param_train_std=xstd,
+             feature_train_mean=ymean, feature_train_std=ystd, **cl_arrays)
+    n_der = 10  # thetastar..N_eff packed vector
+    der_arrays, der_forward = _cosmopower_net(rng, n_in, n_der)
+    dmean, dstd = np.linspace(1.0, 10.0, n_der), np.full(n_der, 0.3)
+    np.savez(d / 'jense_derived_net.npz', parameters=np.array(params),
+             param_train_mean=xmean, param_train_std=xstd,
+             feature_train_mean=dmean, feature_train_std=dstd, **der_arrays)
+
+    emu = convert_cosmopower_release_to_cosmoprimo(tmp_path / 'cosmopower_jense2024_base')
+    assert set(emu.engines) == {'harmonic.lensed_cl.tt', 'thermodynamics.all'}
+    # parameter renames: ombh2 -> omega_b etc., H0 -> h
+    assert 'h' in emu.engines['harmonic.lensed_cl.tt'].params
+    X = {'omega_b': 0.022, 'omega_cdm': 0.12, 'h': 0.67, 'logA': 3.0,
+         'n_s': 0.96, 'tau_reio': 0.055}
+    names = emu.engines['harmonic.lensed_cl.tt'].params
+    pred = emu.predict({name: X[name] for name in names})
+    cl = np.asarray(pred['harmonic.lensed_cl.tt'])
+    assert cl.shape == (n_ell + 2,) and np.all(cl[:2] == 0)
+    # manual foreign forward with the release's serving conventions
+    x = np.array([X[name] for name in names])
+    xh = np.array(x)
+    xh[names.index('h')] *= 100.0  # network was trained on H0
+    xn = (np.where(np.array(names) == 'h', x * 100.0, x) - xmean) / xstd
+    raw = cl_forward(xn) * ystd + ymean
+    ells = np.arange(n_ell + 2)
+    factor = (ells * (ells + 1))[2:] / (2 * np.pi)
+    np.testing.assert_allclose(cl[2:], 10.0 ** raw / factor, rtol=1e-10)
+
+    # derived unpacking through the emulator-level typed operation: predict
+    # applies the SplitDerivedOperation inverse itself
+    out = {name: np.asarray(value)
+           for name, value in emu.predict({name: X[name] for name in names}).items()}
+    raw_der = der_forward(xn) * dstd + dmean
+    np.testing.assert_allclose(out['thermodynamics.z_star'], raw_der[5], rtol=1e-10)
+    np.testing.assert_allclose(out['thermodynamics.rs_drag'], raw_der[8] * X['h'], rtol=1e-10)
+    assert 'thermodynamics.all' not in out
+
+
+def test_cosmopower_bolliet2023_release(tmp_path):
+    """The 'v1' (bolliet2023) layout: folder structure, arr_0-wrapped dicts,
+    log10 derived vector with the v1 index map, Pk in Mpc units converted
+    back to Mpc/h by the typed FourierUnitOperation."""
+    from cosmoprimo_tpu.emulators.conversion import convert_cosmopower_release_to_cosmoprimo
+
+    rng = np.random.default_rng(13)
+    base = tmp_path / 'cosmopower_bolliet2023_base'
+    (base / 'PK').mkdir(parents=True)
+    (base / 'derived-parameters').mkdir()
+    n_in = 4
+    params = ['ombh2', 'omch2', 'H0', 'logA']
+    xmean, xstd = np.linspace(0.5, 1.5, n_in), np.full(n_in, 0.2)
+    n_k = 500
+    pk_arrays, pk_forward = _cosmopower_net(rng, n_in, n_k)
+    ymean, ystd = np.full(n_k, 3.0), np.full(n_k, 0.4)
+    state = dict(parameters=np.array(params), param_train_mean=xmean, param_train_std=xstd,
+                 feature_train_mean=ymean, feature_train_std=ystd, **pk_arrays)
+    np.savez(base / 'PK' / 'PKL_net.npz', arr_0=np.array(state, dtype=object))
+    n_der = 14
+    der_arrays, der_forward = _cosmopower_net(rng, n_in, n_der)
+    dmean, dstd = np.linspace(0.1, 2.0, n_der), np.full(n_der, 0.1)
+    state = dict(parameters=np.array(params), param_train_mean=xmean, param_train_std=xstd,
+                 feature_train_mean=dmean, feature_train_std=dstd, **der_arrays)
+    np.savez(base / 'derived-parameters' / 'DER_net.npz', arr_0=np.array(state, dtype=object))
+
+    emu = convert_cosmopower_release_to_cosmoprimo(base, version='1')
+    assert set(emu.engines) == {'fourier.pk.delta_m.delta_m', 'thermodynamics.all'}
+    assert emu.defaults == {'A_b': 3.0, 'eta_b': 0.75, 'logT_AGN': 7.8}
+    names = emu.engines['fourier.pk.delta_m.delta_m'].params
+    X = {'omega_b': 0.022, 'omega_cdm': 0.12, 'h': 0.67, 'logA': 3.0}
+    # predict merges the fixed k grid and applies the dict yoperations
+    # (FourierUnitOperation, SplitDerivedOperation) itself
+    out = {name: np.asarray(value) for name, value in emu.predict({n: X[n] for n in names}).items()}
+    # foreign forward: 10**(denormalized net), in Mpc^3 at k [1/Mpc]
+    xn = (np.where(np.array(names) == 'h',
+                   np.array([X[n] for n in names]) * 100.0,
+                   np.array([X[n] for n in names])) - xmean) / xstd
+    pk_mpc = 10.0 ** (pk_forward(xn) * ystd + ymean)
+    np.testing.assert_allclose(out['fourier.pk.delta_m.delta_m'], pk_mpc * X['h'] ** 3, rtol=1e-9)
+    np.testing.assert_allclose(out['fourier.k'], np.geomspace(1e-4, 50.0, 5000)[::10] / X['h'], rtol=1e-12)
+    # v1 derived: log10-packed, indices 10-13
+    raw_der = 10.0 ** (der_forward(xn) * dstd + dmean)
+    np.testing.assert_allclose(out['thermodynamics.z_drag'], raw_der[12], rtol=1e-9)
+    np.testing.assert_allclose(out['thermodynamics.rs_star'], raw_der[11] * X['h'], rtol=1e-9)
+
+
+def test_converted_release_roundtrips_disk(tmp_path):
+    """A converted release emulator survives write -> read with its typed
+    dict operations (SplitDerivedOperation / FourierUnitOperation) intact."""
+    from cosmoprimo_tpu.emulators.conversion import convert_cosmopower_release_to_cosmoprimo
+
+    rng = np.random.default_rng(17)
+    d = tmp_path / 'cosmopower_jense2024_base' / 'networks'
+    d.mkdir(parents=True)
+    params = ['ombh2', 'omch2', 'H0', 'logA']
+    arrays, _ = _cosmopower_net(rng, 4, 10)
+    np.savez(d / 'x_derived.npz', parameters=np.array(params),
+             param_train_mean=np.zeros(4), param_train_std=np.ones(4),
+             feature_train_mean=np.zeros(10), feature_train_std=np.ones(10), **arrays)
+    emu = convert_cosmopower_release_to_cosmoprimo(tmp_path / 'cosmopower_jense2024_base')
+    fn = str(tmp_path / 'emu.npy')
+    emu.write(fn)
+    emu2 = Emulator.read(fn)
+    ops = [type(op).__name__ for op in emu2.yoperations]
+    assert 'SplitDerivedOperation' in ops
+    X = {'omega_b': 0.022, 'omega_cdm': 0.12, 'h': 0.7, 'logA': 3.0}
+    out = {'thermodynamics.all': np.arange(10.0)}
+    for op in emu2.yoperations[::-1]:
+        out = op.inverse(out, X=X)
+    np.testing.assert_allclose(out['thermodynamics.rs_drag'], 8.0 * 0.7)
