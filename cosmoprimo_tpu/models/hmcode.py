@@ -208,42 +208,52 @@ def mead_growth_ratios(z, Omega_m0, Omega_k0=0.0, w0=-1.0, wa=0.0,
     early-time convention g(a) -> a — the background's own growth tables
     (which include radiation friction and a different normalization) do
     not satisfy this, so the g here is solved from its own 2nd-order ODE
-    in eta = ln a on a static grid (rk4-on-scan, trace/vmap-safe):
-    D'' = 1.5 Omega_m(a) D - (2 + dlnH/dlna) D', D(a_init) = a_init.
-    G(a) = int_0^a g dln a' closes the below-grid tail with the
-    matter-domination limit int_0^a0 a' dln a' = a0.
+    in eta = ln a: D'' = 1.5 Omega_m(a) D - (2 + dlnH/dlna) D',
+    D(a_init) = a_init.
+
+    TPU-first numerics: the substitution u = D/a (u == 1 identically in
+    EdS) turns 9 e-folds of growth into a slowly-varying factor, solved by
+    the log-depth Magnus parallel-prefix propagator
+    (ops/odeint.linear_ode2_magnus) instead of a sequential scan; G(a) =
+    int_0^a g dln a' then comes from cumulative trapezoid with the
+    Euler-Maclaurin h^2/12 endpoint-derivative correction (g' = a (u + u')
+    is available analytically from the same solution), closing the
+    below-grid tail with the matter-domination limit int_0^a0 a' dln a'
+    = a0.
     """
-    from ..ops.odeint import odeint
+    from ..ops.odeint import linear_ode2_magnus
     Ode0 = 1.0 - Omega_m0 - Omega_k0
 
-    def Omegas(eta):
+    def coeffs(eta):
         a = jnp.exp(eta)
         de = a ** (-3.0 * (1.0 + w0 + wa)) * jnp.exp(-3.0 * wa * (1.0 - a))
         Esq = Omega_m0 * a ** -3 + Omega_k0 * a ** -2 + Ode0 * de
-        return Omega_m0 * a ** -3 / Esq, Omega_k0 * a ** -2 / Esq, Ode0 * de / Esq, a
-
-    # integrate u = D/a (u'' = (s + f - 1) u + (f - 2) u' for D'' = s D
-    # + f D'): u == 1 identically in EdS, so the rk4 error rides on the
-    # slowly-varying suppression factor instead of the 9-e-fold growth
-    # G(a) = int g dln a rides along as a third component so the whole
-    # system carries rk4 (h^4) accuracy end to end
-    def deqs(U, eta):
-        u, up, _ = U
-        Om, Ok, Ode, a = Omegas(eta)
+        Om = Omega_m0 * a ** -3 / Esq
+        Ok = Omega_k0 * a ** -2 / Esq
+        Ode = Ode0 * de / Esq
         w = w0 + wa * (1.0 - a)
         addot = -0.5 * (1.0 - Ok + 3.0 * w * Ode)   # no radiation term
         f = -1.0 - addot
-        return jnp.array([up, (1.5 * Om + f - 1.0) * u + (f - 2.0) * up, a * u])
+        # u = D/a transform of D'' = s D + f D'
+        return 1.5 * Om + f - 1.0, f - 2.0
 
     eta = np.linspace(np.log(a_init), 0.0, na)
-    sol = odeint(deqs, jnp.array([1.0, 0.0, a_init]), jnp.asarray(eta))
+    sol = linear_ode2_magnus(coeffs, jnp.array([1.0, 0.0]), jnp.asarray(eta))
     a_tab = jnp.exp(jnp.asarray(eta))
-    g_tab = a_tab * sol[:, 0]                        # already g(a) -> a early
-    G_tab = sol[:, 2]
+    u, up = sol[:, 0], sol[:, 1]
+    g_tab = a_tab * u                                # already g(a) -> a early
+    gp = a_tab * (u + up)                            # dg/deta, analytic
+    h = eta[1] - eta[0]
+    dG = 0.5 * (g_tab[1:] + g_tab[:-1]) * h
+    cumtrapz = jnp.concatenate([jnp.zeros((1,), g_tab.dtype), jnp.cumsum(dG)])
+    G_tab = g_tab[0] + cumtrapz - h ** 2 / 12.0 * (gp - gp[0])
     az = 1.0 / (1.0 + jnp.asarray(z))
-    g_z = jnp.interp(az, a_tab, g_tab)
-    G_z = jnp.interp(az, a_tab, G_tab)
-    return g_z / az, G_z / az
+    # interpolate the RATIOS (u = g/a and G/a, both slowly varying) rather
+    # than g, G themselves: linear-interp error on the 128-point grid drops
+    # from ~4e-4 to ~1e-6
+    x_z = jnp.interp(az, a_tab, u)
+    y_z = jnp.interp(az, a_tab, G_tab / a_tab)
+    return x_z, y_z
 
 
 def _st_f(nu):

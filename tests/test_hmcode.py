@@ -212,10 +212,10 @@ def test_nonlinear_snapshot_regression(cosmo):
         [4667.00926081, 803.12040248, 84.70172984, 9.68778571], rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(hm(k, 0.0)),
-        [12300.45955876, 2152.25598316, 298.08681602, 27.44745238], rtol=1e-5)
+        [12300.45955216, 2152.25596576, 298.0867887, 27.44744455], rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(hm(k, 1.0)),
-        [4685.19747726, 772.72258093, 65.16709616, 6.61396016], rtol=1e-5)
+        [4685.19706337, 772.72014842, 65.16568026, 6.61350153], rtol=1e-5)
 
 
 def test_mead2020_feedback_response(cosmo):
