@@ -42,6 +42,17 @@ _ALLOWED_AST_NODES = (
 )
 
 
+def _guarded_import(name, globals=None, locals=None, fromlist=(), level=0):
+    """__import__ restricted to the jax/numpy family — the only imports the
+    jnp dispatch machinery legitimately triggers from inside an operation
+    expression (see evaluate)."""
+    import builtins
+    root = name.partition('.')[0]
+    if level != 0 or root not in ('jax', 'jaxlib', 'numpy', 'ml_dtypes', 'opt_einsum'):
+        raise ImportError(f'operation expressions may not import {name!r}')
+    return builtins.__import__(name, globals, locals, fromlist, level)
+
+
 def evaluate(expression, locals=None):
     """Evaluate an operation expression with jnp and the given locals only.
 
@@ -67,13 +78,14 @@ def evaluate(expression, locals=None):
             raise ValueError(f'Disallowed attribute {node.attr!r} in operation expression {expression!r}')
     env = {'jnp': jnp, 'np': jnp}
     env.update(locals or {})
-    # jax.numpy materializes some attributes lazily; the import machinery
-    # resolves '__import__' from this frame's builtins. Expressions cannot
-    # reach it (underscore names are rejected above), so exposing it keeps
-    # the sandbox while letting jnp attribute access work.
-    import builtins
+    # jnp call dispatch resolves '__import__' from this frame's builtins
+    # (jax's C++ dispatch path uses the caller's builtins for lazy imports,
+    # so an empty dict breaks even jnp.log10 with KeyError '__import__').
+    # Expressions cannot *name* it (underscore identifiers are rejected at
+    # the AST gate above), and the copy exposed here is further restricted
+    # to the jax/numpy family — importing anything else raises.
     return eval(compile(tree, '<operation>', 'eval'),
-                {'__builtins__': {'__import__': builtins.__import__}}, env)
+                {'__builtins__': {'__import__': _guarded_import}}, env)
 
 
 @register_operation

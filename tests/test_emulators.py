@@ -34,9 +34,24 @@ def test_operation_evaluate_restricted():
                  "_secret",
                  "[x for x in (1,)]",
                  "lambda: 1",
-                 "jnp.__loader__"]:
-        with pytest.raises((ValueError, SyntaxError)):
+                 "jnp.__loader__",
+                 "f'{v}'",
+                 "getattr(v, 'real')"]:
+        with pytest.raises((ValueError, SyntaxError, NameError)):
             evaluate(evil, {'v': 1.0})
+    # the evaluator's builtins expose nothing nameable: open/exec/eval and
+    # every other non-underscore builtin must not resolve
+    for evil in ["open('/etc/passwd')", "exec", "eval"]:
+        with pytest.raises((ValueError, SyntaxError, NameError)):
+            evaluate(evil, {'v': 1.0})
+    # the guarded __import__ (needed by jnp dispatch) refuses non-jax/numpy
+    from cosmoprimo_tpu.emulators.operations import _guarded_import
+    with pytest.raises(ImportError):
+        _guarded_import('os')
+    with pytest.raises(ImportError):
+        _guarded_import('subprocess.check_output')
+    # jnp submodule attribute access works inside the sandbox
+    np.testing.assert_allclose(float(evaluate('jnp.linalg.norm(v)', {'v': np.asarray([3.0, 4.0])})), 5.0)
     # round-trip through Operation state keeps working
     op = Operation('jnp.exp(v)', inverse='jnp.log(v)')
     state = op.__getstate__()
