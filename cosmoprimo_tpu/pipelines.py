@@ -114,9 +114,21 @@ def make_pk_to_xi_pipeline_batched(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenst
     batched FFTLog over all (B, nz) rows — so the fused Pallas engine
     applies to the whole batch in a single kernel launch.
     """
-    k = jnp.asarray(np.geomspace(kmin, kmax, nk))
-    p2c = PowerToCorrelation(np.geomspace(kmin, kmax, nk), engine=fft_engine)
+    k_np = np.geomspace(kmin, kmax, nk)
+    k = jnp.asarray(k_np)
+    p2c = PowerToCorrelation(k_np, engine=fft_engine)
     zq = jnp.array([0.5, 1.0, 2.0])
+    # sigma8 via static-weight Simpson on the SAME k-grid the transform
+    # uses (exactly as make_pk_to_xi_pipeline): sigma8_z's generic path
+    # re-evaluates the spline on its own 1024-point grid, and those
+    # gather-heavy evals cost ~3 us/cosmology on TPU — the static-weight
+    # reduction is one fused multiply-sum
+    from .interpolator import kernel_tophat2
+    from .ops import simpson
+    _w8 = jnp.asarray(k_np ** 3 * np.asarray(kernel_tophat2(jnp.asarray(8.0 * k_np))))
+    _lnk = jnp.asarray(np.log(k_np))
+    _iz0 = int(np.argmin(np.abs(np.asarray(z))))
+    _z0_in_grid = float(np.asarray(z).ravel()[_iz0]) == 0.0
 
     def single(omega_cdm, omega_b, h, n_s, logA):
         cosmo = Cosmology(omega_cdm=omega_cdm, omega_b=omega_b, h=h, n_s=n_s, logA=logA, engine=engine)
@@ -124,7 +136,9 @@ def make_pk_to_xi_pipeline_batched(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenst
         pk = fo.pk_interpolator()
         pkz = pk(k, z, ignore_growth=False)          # (nk, nz)
         ba = cosmo.get_background()
-        sigma8 = pk.sigma8_z(0.0, method='simpson')  # linear by definition
+        # sigma8 is defined on the LINEAR spectrum: reuse the z = 0 column
+        pk0 = pkz[:, _iz0] if _z0_in_grid else pk(k, jnp.array([0.0]))[:, 0]
+        sigma8 = jnp.sqrt(simpson(pk0 * _w8, x=_lnk) / (2.0 * jnp.pi ** 2))
         pkz = apply_non_linear(non_linear, cosmo, ba, k, pkz, z, omega_b, h, n_s)
         chi = ba.comoving_radial_distance(zq)
         return pkz, chi, sigma8

@@ -14,5 +14,11 @@ import jax
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+# Persistent compilation cache: test graphs are identical run-over-run, so
+# cached XLA compiles cut suite wall time substantially on the 1-CPU box.
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_COMPILE_CACHE',
+                                 os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', '.jax_cache')))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
