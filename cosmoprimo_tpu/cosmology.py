@@ -737,13 +737,16 @@ for _section in _Sections:
 
 
 def _deepeq(obj1, obj2):
+    # numpy and jax arrays compare by value: disk round-trips (write/read)
+    # and jit boundaries convert between the two families
+    arraylike = (np.ndarray, jnp.ndarray)
+    if isinstance(obj1, arraylike) and isinstance(obj2, arraylike):
+        return obj1.shape == obj2.shape and bool(np.all(np.asarray(obj2) == np.asarray(obj1)))
     if type(obj2) is type(obj1):
         if isinstance(obj1, dict):
             return obj2.keys() == obj1.keys() and all(_deepeq(obj1[k], obj2[k]) for k in obj1)
         if isinstance(obj1, (tuple, list)):
             return len(obj2) == len(obj1) and all(_deepeq(a, b) for a, b in zip(obj1, obj2))
-        if isinstance(obj1, (np.ndarray, jnp.ndarray)):
-            return obj1.shape == obj2.shape and bool(np.all(np.asarray(obj2) == np.asarray(obj1)))
         return obj2 == obj1
     return False
 
@@ -966,6 +969,34 @@ class Cosmology(ParamsAccessor):
     def write(self, filename):
         utils.write_state(filename, self.__getstate__())
 
+    # Deprecated aliases kept for reference API parity
+    # (reference cosmology.py:849-852, 1419-1440; utils.py:55-64).
+    @classmethod
+    def load(cls, filename):
+        """Deprecated. Use :meth:`read`."""
+        import warnings
+        warnings.warn('load() is deprecated, use read() instead.', DeprecationWarning, stacklevel=2)
+        return cls.read(filename)
+
+    def save(self, filename):
+        """Deprecated. Use :meth:`write`."""
+        import warnings
+        warnings.warn('save() is deprecated, use write() instead.', DeprecationWarning, stacklevel=2)
+        return self.write(filename)
+
+    @classmethod
+    def get_default_parameters(cls, *args, **kwargs):
+        """Deprecated. Use :meth:`get_default_params`."""
+        import warnings
+        warnings.warn('get_default_parameters is deprecated, use get_default_params', DeprecationWarning, stacklevel=2)
+        return cls.get_default_params(*args, **kwargs)
+
+    def copy(self):
+        """Return shallow copy of ``self``."""
+        new = self.__class__.__new__(self.__class__)
+        new.__dict__.update(self.__dict__)
+        return new
+
     # ------------------------------------------------------------- magic
     def __getattr__(self, name):
         """Forward attribute access to the engine's sections, e.g.
@@ -1024,7 +1055,14 @@ class BaseSection(object):
     attributes are children."""
 
     def __init__(self, engine):
-        pass
+        self._engine = engine
+
+    @property
+    def engine(self):
+        """The engine this section was built from (reference
+        cosmology.py:1490 ``addproperty('engine')``). ``None`` after a
+        pytree round-trip: the engine is aux-excluded from flatten."""
+        return self.__dict__.get('_engine', None)
 
     def tree_flatten(self):
         return ({name: value for name, value in self.__dict__.items() if name != '_engine'},), {}

@@ -10,8 +10,12 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from math import comb
+
+from ..cosmology import Cosmology
 from ..interpolator import PowerSpectrumInterpolator1D
 from ..ops import Interpolator1D
+from ..utils import setup_logging
 from .base import (BaseEmulatorEngine, Emulator as _ToolsEmulator, EmulatedCalculator, PointEmulatorEngine,
                    find_names, get_engine, make_list)
 from .operations import (ArcsinhOperation, ChebyshevOperation, Log10Operation, NormOperation, Operation,
@@ -109,8 +113,19 @@ def batch_vmap(func, *vargs, batch_size=None, **vkwargs):
     return wrapper
 
 
+def mask_subsample(size, factor=1., seed=42):
+    """Boolean mask selecting a random subsample: a fraction if
+    ``factor <= 1``, else ``factor`` samples (reference
+    emulators/__init__.py:99-104)."""
+    rng = np.random.RandomState(seed=seed)
+    mask = np.zeros(size, dtype='?')
+    if factor <= 1.:
+        factor = int(factor * size)
+    mask[rng.choice(size, int(factor), replace=False)] = True
+    return mask
+
+
 def smoothstep(x, xmin=0, xmax=1, order=1):
-    from math import comb
     x = np.clip((x - xmin) / (xmax - xmin), 0, 1)
     result = 0
     for n in range(0, order + 1):

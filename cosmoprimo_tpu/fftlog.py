@@ -198,8 +198,7 @@ class FFTlog(object):
 
     def __init__(self, x, kernel, q=0, minfolds=2, lowring=True, xy=1, check_level=0, engine='auto', **engine_kwargs):
         self.inparallel = isinstance(kernel, (tuple, list))
-        self.engine = str(engine)
-        self.engine_kwargs = dict(engine_kwargs)
+        self.set_fft_engine(engine, **engine_kwargs)
         kernels = list(kernel) if self.inparallel else [kernel]
         nk = len(kernels)
         if np.ndim(q) == 0:
@@ -219,6 +218,21 @@ class FFTlog(object):
             x = xp.tile(x[None, :], (nk, 1))
         self.x = x
         self._setup(xp, kernels, list(q), minfolds=minfolds, lowring=lowring, xy=list(xy), shared_x=shared_x)
+
+    def set_fft_engine(self, engine='auto', **engine_kwargs):
+        """Select the FFT engine used by :meth:`__call__` (reference
+        fftlog.py:119-133). Native engines are ``'auto'`` (pallas on TPU
+        batches, pair-FFT otherwise), ``'pair'`` (XLA f64 pair-FFT) and
+        ``'pallas'`` (fused double-single f32 kernel). The reference names
+        ``'numpy'`` and ``'fftw'`` are accepted as aliases of ``'pair'`` and
+        ``'auto'``: both roles (host FFT / fastest native FFT) map onto the
+        XLA and Pallas paths here."""
+        engine = str(engine)
+        engine = {'numpy': 'pair', 'fftw': 'auto'}.get(engine, engine)
+        if engine not in ('auto', 'pair', 'pallas'):
+            raise ValueError(f'unknown FFT engine {engine!r}; choose from auto/pair/pallas (or numpy/fftw aliases)')
+        self.engine = engine
+        self.engine_kwargs = dict(engine_kwargs)
 
     @property
     def nparallel(self):

@@ -139,6 +139,23 @@ def TabulatedDESI():
                 extra_params={'filename': _DESI_filename, 'names': ['efunc', 'comoving_radial_distance']})
 
 
+def save_TabulatedDESI(engine=None):
+    """Regenerate :func:`TabulatedDESI`'s table ``data/desi.dat``:
+    z, efunc(z), comoving_radial_distance(z) on [0] + logspace(-8, 2, 40001)
+    (reference fiducial.py:285-291). The reference computes the table with
+    CLASS; here the default engine's background is used — pass
+    ``engine='class'`` to reproduce the reference file exactly when pyclass
+    is installed; the default here is ``'eisenstein_hu'`` (its background is
+    engine-independent closed form)."""
+    import numpy as np
+    cosmo = DESI(engine=engine if engine is not None else 'eisenstein_hu')
+    bins_log = 'np.logspace(-8, 2, 40001)'
+    z = np.concatenate([[0], np.logspace(-8, 2, 40001)], axis=0)
+    array = np.array([z, np.asarray(cosmo.efunc(z)), np.asarray(cosmo.comoving_radial_distance(z))]).T
+    header = 'z = [0] + {}\nz efunc(z) comoving_radial_distance(z) [Mpc/h]'.format(bins_log)
+    np.savetxt(_DESI_filename, array, fmt='%.18e', header=header, comments='# ')
+
+
 def DESIDR2Flatw0waCDM(engine=None, precision=None, extra_params=None, **params):
     """Best-fit flat w0waCDM from CMB + DESI BAO DR2 + DESY5 (arXiv:2503.14738)."""
     bestfit_params = {'Omega_m': 0.3191980194, 'omega_b': 0.02221485621, 'H0': 66.73428704,

@@ -200,6 +200,12 @@ class _BaseInterpolator(object):
     def deepcopy(self):
         return self.__class__(**self.as_dict())
 
+    def copy(self):
+        """Return shallow copy of ``self`` (reference utils.py:55-64)."""
+        new = self.__class__.__new__(self.__class__)
+        new.__dict__.update(self.__dict__)
+        return new
+
     def tree_flatten(self):
         children = ({name: getattr(self, name) for name in self._tree_children if hasattr(self, name)},)
         aux = {name: getattr(self, name) for name in ['is_from_callable', '_is2d'] if hasattr(self, name)} | self.params()
