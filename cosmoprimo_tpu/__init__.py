@@ -9,12 +9,14 @@ emulator toolkit. Everything is traced JAX: jit/vmap/jacfwd work end-to-end,
 and batched evaluation over many cosmologies maps onto the TPU natively.
 """
 
-import jax
+# Imported as _jax: the plain name would shadow the lazy `cosmoprimo_tpu.jax`
+# compat submodule (reference cosmoprimo.jax surface) in `from ... import jax`.
+import jax as _jax
 
 # Double precision everywhere, as the reference does at import
 # (cosmoprimo/jax.py:14-16). Cosmological invariants (e.g. rs_drag to 1e-7)
 # require f64 accumulation; compute-heavy inner kernels downcast explicitly.
-jax.config.update('jax_enable_x64', True)
+_jax.config.update('jax_enable_x64', True)
 
 from . import constants
 
@@ -37,6 +39,7 @@ _API = {
     'FFTlog': 'fftlog', 'PowerToCorrelation': 'fftlog', 'CorrelationToPower': 'fftlog',
     'TophatVariance': 'fftlog', 'GaussianVariance': 'fftlog', 'HankelTransform': 'fftlog',
     'halofit': 'models.halofit', 'halofit_pk_interpolator': 'models.halofit',
+    'jax': 'jax',  # compat surface mirroring the reference's cosmoprimo.jax
 }
 
 

@@ -20,10 +20,13 @@ def for_cond_loop(lower, upper, cond_fun, body_fun, init_val):
     return jax.lax.fori_loop(lower, upper, body, init_val)
 
 
-def bracket(f, init, maxiter=15):
+def bracket(f, init, maxiter=15, maxtries=None):
     """Expand from ``init`` to find a sign change of ``f``.
 
     ``init`` is (x1, dx) or (x1, dx, f1). Returns sorted (2,) array [lo, hi].
+    ``maxtries`` (eager error-retry count in the reference, jax.py:719) is
+    accepted for signature parity and ignored: traced evaluation cannot
+    retry on exceptions.
     """
     if len(init) == 2:
         x1, dx = init
