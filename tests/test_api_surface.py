@@ -73,6 +73,17 @@ def test_emulators_namespace_reexports():
     assert mask.sum() == 10
 
 
+def test_emulators_tools_namespace():
+    # reference emulators/tools/__init__.py surface, importable as a module
+    from cosmoprimo_tpu.emulators import tools
+    for name in ['Emulator', 'PointEmulatorEngine', 'EmulatedCalculator', 'Operation',
+                 'ScaleOperation', 'NormOperation', 'Log10Operation', 'ArcsinhOperation',
+                 'PCAOperation', 'ChebyshevOperation', 'TaylorEmulatorEngine',
+                 'MLPEmulatorEngine', 'Samples', 'InputSampler', 'GridSampler',
+                 'DiffSampler', 'QMCSampler', 'CalculatorComputationError', 'setup_logging']:
+        assert hasattr(tools, name), name
+
+
 def test_save_tabulated_desi(tmp_path, monkeypatch):
     target = str(tmp_path / 'desi.dat')
     monkeypatch.setattr(fiducial, '_DESI_filename', target)
