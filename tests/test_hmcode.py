@@ -172,8 +172,9 @@ def test_hmcode_jit_vmap_grad():
 
 
 def test_one_halo_subgrid_accuracy(cosmo):
-    """The coarse one-halo k-subgrid (nk_one_halo=64) reproduces the dense
-    evaluation to < 1e-3 for k <= 10 h/Mpc (the calibrated regime)."""
+    """The coarse one-halo k-subgrid (nk_one_halo=32 default) reproduces
+    the dense evaluation to < 1e-3 for k <= 10 h/Mpc (the calibrated
+    regime)."""
     from cosmoprimo_tpu.models.hmcode import hmcode2020
     fo = cosmo.get_fourier()
     z = np.array([0.0, 1.0])
@@ -212,10 +213,10 @@ def test_nonlinear_snapshot_regression(cosmo):
         [4667.00926081, 803.12040248, 84.70172984, 9.68778571], rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(hm(k, 0.0)),
-        [12300.45955216, 2152.25596576, 298.0867887, 27.44744455], rtol=1e-5)
+        [12300.45963619, 2152.25953905, 298.07708368, 27.44727495], rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(hm(k, 1.0)),
-        [4685.19706337, 772.72014842, 65.16568026, 6.61350153], rtol=1e-5)
+        [4685.19764326, 772.72381336, 65.16758261, 6.61415834], rtol=1e-5)
 
 
 def test_mead2020_feedback_response(cosmo):

@@ -95,11 +95,13 @@ def test_growth_vs_scipy_oracle():
     z = np.array([0.0, 0.5, 1.0, 2.0])
     a = 1.0 / (1.0 + z)
     x, y = mead_growth_ratios(jnp.asarray(z), 0.3)
-    # tolerance budget: the traced path linearly interpolates u = g/a on a
-    # 128-point ln a grid (~1e-4 between nodes); the Mead fits feel that at
-    # the ~5e-4 level on Delta_v — far below the fit's own accuracy
-    np.testing.assert_allclose(np.asarray(x), g_fn(a) / a, rtol=3e-4)
-    np.testing.assert_allclose(np.asarray(y), G_fn(a) / a, rtol=3e-4)
+    # tolerance budget: the traced path solves on a 64-step ln a grid
+    # (Magnus discretization ~2e-4) and linearly interpolates u = g/a
+    # between nodes; the Mead fits feel that at the sub-permille level on
+    # Delta_v — far below the fit's own accuracy. The anchor still checks
+    # a ~22% physical deviation from EdS (x ~ 0.78) against scipy's ODE.
+    np.testing.assert_allclose(np.asarray(x), g_fn(a) / a, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(y), G_fn(a) / a, rtol=1e-3)
 
 
 @pytest.mark.slow
