@@ -236,3 +236,50 @@ def test_emulator_file_cross_compat(tmp_path):
     np.testing.assert_allclose(chi_theirs2, chi_ours2, rtol=1e-8)
     np.testing.assert_allclose(float(theirs2.get_thermodynamics().rs_drag),
                                float(np.asarray(ours2.get_thermodynamics().rs_drag)), rtol=1e-8)
+
+
+def test_fuzz_parity():
+    """Randomized differential sweep: wide draws over the full parameter
+    box (curvature sign, CPL dark energy, massive neutrinos, sigma8 vs
+    A_s normalization) through both frameworks — exercises the curved
+    distance branches, the CPL growth friction term, the ncdm momenta
+    machinery and theta_cosmomc at points the fixed-fiducial tests never
+    visit (reference test analogue: tests/test_cosmology.py:938+ uses a
+    single point)."""
+    from cosmoprimo_tpu.cosmology import Cosmology
+    rng = np.random.default_rng(20260817)
+    z = np.array([0.0, 0.3, 1.0, 2.0, 8.0])
+    k = np.geomspace(1e-3, 5.0, 40)
+    for i in range(8):
+        draw = dict(
+            h=rng.uniform(0.55, 0.8),
+            omega_cdm=rng.uniform(0.08, 0.16),
+            omega_b=rng.uniform(0.018, 0.026),
+            n_s=rng.uniform(0.9, 1.02),
+            Omega_k=rng.uniform(-0.08, 0.08),
+            w0_fld=rng.uniform(-1.3, -0.7),
+            wa_fld=rng.uniform(-0.5, 0.4),
+            m_ncdm=float(rng.uniform(0.0, 0.3)),
+        )
+        if i % 2:
+            draw['sigma8'] = rng.uniform(0.7, 0.9)
+        else:
+            draw['logA'] = rng.uniform(2.7, 3.3)
+        ours = Cosmology(**draw, engine='eisenstein_hu')
+        theirs = ref.Cosmology(**draw, engine='eisenstein_hu')
+        msg = f'draw {i}: {draw}'
+        for name in ['Omega_m', 'Omega_de', 'Omega_ncdm', 'N_ur', 'theta_cosmomc']:
+            np.testing.assert_allclose(np.asarray(ours[name]), np.asarray(theirs[name]),
+                                       rtol=1e-6, err_msg=f'{name} {msg}')
+        ba_o, ba_t = ours.get_background(), theirs.get_background()
+        for name in ['efunc', 'comoving_radial_distance', 'angular_diameter_distance',
+                     'luminosity_distance', 'growth_factor', 'growth_rate']:
+            np.testing.assert_allclose(np.asarray(getattr(ba_o, name)(z)),
+                                       np.asarray(getattr(ba_t, name)(z)),
+                                       rtol=1e-7, err_msg=f'{name} {msg}')
+        th_o, th_t = ours.get_thermodynamics(), theirs.get_thermodynamics()
+        np.testing.assert_allclose(float(np.asarray(th_o.rs_drag)), float(th_t.rs_drag),
+                                   rtol=1e-8, err_msg=msg)
+        pko = np.asarray(ours.get_fourier().pk_interpolator()(k, z[:3]))
+        pkt = np.asarray(theirs.get_fourier().pk_interpolator()(k, z[:3]))
+        np.testing.assert_allclose(pko, pkt, rtol=1e-6, err_msg=msg)
