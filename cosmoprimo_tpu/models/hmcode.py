@@ -385,10 +385,16 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     nk1h = min(nk_one_halo, nk)
     isub = np.unique(np.round(np.linspace(0, nk - 1, nk1h)).astype(int))
     ksub = k[isub]
+    # Profile-tensor layout (TPU tiling): under the batched (vmapped)
+    # pipeline every per-cosmology array gains a leading batch axis, and
+    # the TPU pads the two MINOR dims to (8, 128) lanes — with the
+    # z-minor (nk1h, nR, nz) ordering an nz = 1 table wastes up to 128x
+    # of the dominant transcendental tensor. Order it (nz, nk1h, nR)
+    # instead: nR = 64 minor (2x pad), nk1h = 32 second-minor (exact).
     # bloated profile argument: y = (nu^eta k) rv / c
-    krs = (ksub[:, None, None] * nu[None, :, :] ** eta[None, None, :]
-           * (rv / conc)[None, :, :])                     # (nk1h, nR, nz)
-    u = nfw_window(krs, conc[None, :, :])
+    rvc_t = (nu ** eta[None, :] * rv / conc).T            # (nz, nR)
+    krs = ksub[None, :, None] * rvc_t[:, None, :]         # (nz, nk1h, nR)
+    u = nfw_window(krs, conc.T[:, None, :])
 
     # halo window in units of M/rho: (1 - f_nu) u for the matter-only
     # spectrum (neutrinos are smooth); with feedback, the Mead et al. 2021
@@ -409,12 +415,13 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
                                    * omega_m / h ** 2) * R ** 3                # (nR,)
         fg = (fb - fstar)[None, :] / (1.0 + (Mb[None, :] / M[:, None]) ** _FB_BETA)  # (nR, nz)
         fc = 1.0 - fb - fnu
-        win = (fc + fg)[None, :, :] * u + fstar[None, None, :]
+        win = (fc + fg).T[:, None, :] * u + fstar[:, None, None]
 
-    # one-halo integral over lnR: P_1h = int dlnR dnu/dlnR f(nu) (M/rho) win^2
+    # one-halo integral over lnR: P_1h = int dlnR dnu/dlnR f(nu) (M/rho)
+    # win^2, as a per-z matvec contracting the minor (lane) axis
     dlnR = lnR[1] - lnR[0]
     w_int = dnu_dlnR * _st_f(nu) * (4.0 * np.pi / 3.0) * R[:, None] ** 3 * dlnR  # (nR, nz)
-    pk_1h_sub = jnp.einsum('rz,krz->kz', w_int, win ** 2)
+    pk_1h_sub = jnp.einsum('rz,zkr->kz', w_int, win ** 2)
     if len(isub) < nk:
         lnk = jnp.log(k)
         ln_p1h = jnp.log(jnp.maximum(pk_1h_sub, 1e-300))
