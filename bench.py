@@ -191,11 +191,40 @@ def _time_best(checksum, args_list, scalar=lambda out: out):
     return best
 
 
-def _skip_line(metric, baseline, unit, reason):
+def _skip_line(metric, baseline, unit, reason, backend=None):
     print(json.dumps({
         'metric': metric, 'value': 0.0, 'unit': unit, 'vs_baseline': 0.0,
-        'baseline': baseline, 'skipped': reason, 'backend': jax.default_backend(),
+        'baseline': baseline, 'skipped': reason,
+        'backend': backend if backend is not None else jax.default_backend(),
     }), flush=True)
+
+
+def _probe_backend(timeout_s=None):
+    """Bounded TPU-backend probe: the axon relay, when down, can HANG
+    jax.devices() indefinitely rather than raise — which would turn this
+    whole bench into an rc-124 driver kill. Probe from a daemon thread
+    with a wall-clock bound and report failure instead of wedging."""
+    timeout_s = float(os.environ.get('BENCH_BACKEND_PROBE_S', '240')
+                      if timeout_s is None else timeout_s)
+    result = []
+
+    def probe():
+        try:
+            devs = jax.devices()
+            result.append(('ok', devs))
+        except Exception as exc:  # noqa: BLE001
+            result.append(('err', exc))
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout=timeout_s)
+    if not result:
+        return f'backend init did not respond within {timeout_s:.0f}s (relay down/hung?)'
+    status, payload = result[0]
+    if status == 'err':
+        return f'backend init failed: {type(payload).__name__}: {payload}'[:300]
+    _log(f'backend ok: {payload}')
+    return None
 
 
 def main():
@@ -208,6 +237,19 @@ def main():
     n_hm = int(os.environ.get('BENCH_N_HM', '256'))
     n_pallas = int(os.environ.get('BENCH_N_PALLAS', '4096'))
     nrep = int(os.environ.get('BENCH_NREP', '3'))
+
+    unavailable = _probe_backend()
+    if unavailable is not None:
+        _log(f'backend probe failed: {unavailable}')
+        base = 'reference cosmoprimo (numpy/scipy, 1 CPU core; pinned)'
+        for label, unit in (
+                (f'pk->xi FFTLog + distances + sigma8, f64, batch {n}', 'cosmologies/s'),
+                (f'non-linear (halofit) pk->xi pipeline, f64, batch {n_nl}', 'cosmologies/s'),
+                (f'HMcode-2020 halo-model pk->xi pipeline, f64, batch {n_hm}', 'cosmologies/s'),
+                (f'fused Pallas FFTLog kernel, df32, batch {n_pallas} x 4096', 'transforms/s'),
+        ):
+            _skip_line(label, base, unit, unavailable, backend='unavailable')
+        return
 
     head_args = [make_args(n, seed=i) for i in range(nrep + 1)]
     hf_args = [make_args(n_nl, seed=10 + i) for i in range(nrep + 1)]
