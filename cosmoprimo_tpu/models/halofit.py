@@ -130,22 +130,35 @@ def halofit(k, pk_kz, Omega_mz, Omega_dez, wz, fnu=0.0, Omega_m0=None,
     f2 = Omega_mz ** -0.0585
     f3 = Omega_mz ** 0.0743
 
-    delta2_lin = k[:, None] ** 3 * pk_kz / (2 * np.pi ** 2)  # (nk, nz)
-    y = k[:, None] / ksigma[None, :]
+    # Z-MAJOR elementwise block (nz, nk), k on the minor (lane) axis: under
+    # the batched (vmapped) pipelines every per-cosmology table gains a
+    # leading batch axis and the TPU pads the two minor dims to (8, 128)
+    # lanes — with the k-major (nk, nz) ordering an nz = 1 table wastes up
+    # to 128x of every elementwise op below; k-minor keeps the lanes full.
+    # Per-z fitted parameters become columns; output transposes back (the
+    # pipeline consumer transposes to (nz, nk) for the FFTLog anyway, so
+    # XLA fuses the round trip away).
+    pt = pk_kz.T                                             # (nz, nk)
+    k3 = k[None, :] ** 3
+    delta2_lin = k3 * pt / (2 * np.pi ** 2)                  # (nz, nk)
+    y = k[None, :] / ksigma[:, None]
     fy = y / 4.0 + y ** 2 / 8.0
 
     # two-halo (quasi-linear) term, with the Bird 2012 small-scale linear boost
-    delta2_q_lin = delta2_lin * (1.0 + fnu * 47.48 * k[:, None] ** 2 / (1.0 + 1.5 * k[:, None] ** 2))
-    delta2_q = delta2_lin * ((1.0 + delta2_q_lin) ** beta / (1.0 + alpha * delta2_q_lin)) * jnp.exp(-fy)
+    delta2_q_lin = delta2_lin * (1.0 + fnu * 47.48 * k[None, :] ** 2 / (1.0 + 1.5 * k[None, :] ** 2))
+    delta2_q = delta2_lin * ((1.0 + delta2_q_lin) ** beta[:, None]
+                             / (1.0 + alpha[:, None] * delta2_q_lin)) * jnp.exp(-fy)
 
     # one-halo term
-    delta2_hp = an * y ** (3.0 * f1) / (1.0 + bn * y ** f2 + (cn * f3 * y) ** (3.0 - gamma))
-    delta2_h = delta2_hp / (1.0 + nu_h / y ** 2)
+    delta2_hp = (an[:, None] * y ** (3.0 * f1[:, None])
+                 / (1.0 + bn[:, None] * y ** f2[:, None]
+                    + ((cn * f3)[:, None] * y) ** (3.0 - gamma[:, None])))
+    delta2_h = delta2_hp / (1.0 + nu_h[:, None] / y ** 2)
     delta2_h = delta2_h * (1.0 + fnu * (0.977 - 18.015 * (Omega_m0 - 0.3)))
 
     delta2_nl = delta2_q + delta2_h
-    pk_nl = delta2_nl * (2 * np.pi ** 2) / k[:, None] ** 3
-    return jnp.where(collapsed[None, :], pk_nl, pk_kz)
+    pk_nl_t = delta2_nl * (2 * np.pi ** 2) / k3
+    return jnp.where(collapsed[None, :], pk_nl_t.T, pk_kz)
 
 
 def halofit_pk_interpolator(pk2d, background, w0=-1.0, wa=0.0, fnu=0.0, **kwargs):
