@@ -82,26 +82,40 @@ _DC0 = (3.0 / 20.0) * (12.0 * np.pi) ** (2.0 / 3.0)
 _DV0 = 18.0 * np.pi ** 2
 
 
+def _sigma_tophat2_t(k, pk_t, R):
+    """Z-major tophat variance: ``pk_t`` (nz, nk) -> (nz, nR).
+
+    One (nz, nk) @ (nk, nR) matmul; under the vmapped pipelines the batch
+    axis merges into the M dimension ((B nz, nk) @ (nk, nR)), a far better
+    MXU shape than the per-cosmology (nR, nk) @ (nk, 1) of the k-major
+    form.
+    """
+    w = trapezoid_weights(jnp.log(k))
+    delta2_t = k[None, :] ** 3 * pk_t / (2 * np.pi ** 2)
+    window = kernel_tophat2(k[None, :] * R[:, None]) * w[None, :]   # (nR, nk)
+    return delta2_t @ window.T
+
+
 def sigma_tophat2(k, pk_kz, R):
     """Tophat variance sigma^2(R, z) = int dlnk Delta^2_L(k, z) W^2(kR).
 
     ``k``: (nk,), ``pk_kz``: (nk, nz), ``R``: (nR,) -> (nR, nz); one matmul.
     """
-    k = jnp.asarray(k)
-    pk_kz = jnp.asarray(pk_kz)
+    return _sigma_tophat2_t(jnp.asarray(k), jnp.asarray(pk_kz).T, R).T
+
+
+def _sigma_v2_t(k, pk_t):
+    """Z-major displacement variance: ``pk_t`` (nz, nk) -> (nz,)."""
     w = trapezoid_weights(jnp.log(k))
-    delta2 = k[:, None] ** 3 * pk_kz / (2 * np.pi ** 2)
-    window = kernel_tophat2(k[None, :] * R[:, None]) * w[None, :]
-    return window @ delta2
+    delta2_t = k[None, :] ** 3 * pk_t / (2 * np.pi ** 2)
+    return (w[None, :] * delta2_t / k[None, :] ** 2).sum(axis=1) / 3.0
 
 
 def sigma_v2(k, pk_kz):
     """1D displacement variance sigma_v^2 = (1/3) int dlnk Delta^2(k)/k^2,
     (nz,)."""
     k = jnp.asarray(k)
-    w = trapezoid_weights(jnp.log(k))
-    delta2 = k[:, None] ** 3 * jnp.asarray(pk_kz) / (2 * np.pi ** 2)
-    return (w[:, None] * delta2 / k[:, None] ** 2).sum(axis=0) / 3.0
+    return _sigma_v2_t(k, jnp.asarray(pk_kz).T)
 
 
 def eh_nowiggle_shape(k_h, h, omega_m, omega_b, theta_cmb):
@@ -120,19 +134,30 @@ def eh_nowiggle_shape(k_h, h, omega_m, omega_b, theta_cmb):
     return L0 / (L0 + C0 * q ** 2)
 
 
+def _dewiggle_t(k, pk_t, h, omega_m, omega_b, theta_cmb, ns, smooth_sigma=0.25):
+    """Z-major no-wiggle spectrum: ``pk_t`` (nz, nk) -> (nz, nk).
+
+    The smoothing becomes (nz, nk) @ (nk, nk) with the static Gaussian
+    kernel as the shared right operand — under vmap the batch axis merges
+    into M, one big MXU matmul instead of B matvecs.
+    """
+    lnk = jnp.log(k)
+    pk_eh = eh_nowiggle_shape(k, h, omega_m, omega_b, theta_cmb) ** 2 * k ** ns
+    ratio_t = pk_t / pk_eh[None, :]
+    # normalized Gaussian kernel matrix over the (static) lnk grid
+    d = lnk[:, None] - lnk[None, :]
+    G = jnp.exp(-0.5 * (d / smooth_sigma) ** 2)
+    G = G / G.sum(axis=1, keepdims=True)
+    return (ratio_t @ G.T) * pk_eh[None, :]
+
+
 def dewiggle(k, pk_kz, h, omega_m, omega_b, theta_cmb, ns, smooth_sigma=0.25):
     """No-wiggle linear spectrum: Gaussian smoothing (width ``smooth_sigma``
     in ln k) of the ratio P / P_EHnw, times P_EHnw (HMcode-2020 appendix A).
     Static smoothing matrix -> one matmul."""
     k = jnp.asarray(k)
-    lnk = jnp.log(k)
-    pk_eh = eh_nowiggle_shape(k, h, omega_m, omega_b, theta_cmb) ** 2 * k ** ns
-    ratio = jnp.asarray(pk_kz) / pk_eh[:, None]
-    # normalized Gaussian kernel matrix over the (static) lnk grid
-    d = lnk[:, None] - lnk[None, :]
-    G = jnp.exp(-0.5 * (d / smooth_sigma) ** 2)
-    G = G / G.sum(axis=1, keepdims=True)
-    return (G @ ratio) * pk_eh[:, None]
+    return _dewiggle_t(k, jnp.asarray(pk_kz).T, h, omega_m, omega_b,
+                       theta_cmb, ns, smooth_sigma=smooth_sigma).T
 
 
 def nfw_window(krs, c):
@@ -310,9 +335,18 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     if z is not None:
         z = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(z)), (nz,))
 
+    # Z-MAJOR working layout (z leading, k/R on the minor lane axis): under
+    # the batched pipelines every per-cosmology table gains a leading batch
+    # axis and the TPU pads the two minor dims to (8, 128) lanes — k-major
+    # (nk, nz) tables at nz=1 waste up to 128x of every elementwise op, and
+    # the matmuls against static kernels become per-cosmology matvecs
+    # instead of batch-merged MXU contractions. Only the small (nR, nz)
+    # spline blocks stay k-major (the spline helpers solve along axis 0).
+    pt_cb = pk_cb.T                                       # (nz, nk)
+    pt_m = pk_m.T
     R = jnp.asarray(np.geomspace(*Rrange, num=nR))
     lnR = jnp.log(R)
-    sig2 = sigma_tophat2(k, pk_cb, R)                     # (nR, nz)
+    sig2 = _sigma_tophat2_t(k, pt_cb, R).T                # (nR, nz)
     lnsig2 = jnp.log(jnp.maximum(sig2, 1e-300))
     M2 = natural_cubic_coeffs(lnR, lnsig2)                # spline coeffs
 
@@ -344,11 +378,12 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     alpha = _ALPHA_A * _ALPHA_B ** neff
 
     # ---- two-halo: de-wiggled, damped linear total-matter spectrum
-    pk_dw_base = dewiggle(k, pk_m, h, omega_m, omega_b, theta_cmb, ns)
-    sv2 = sigma_v2(k, pk_m)                               # (nz,)
-    pk_dw = pk_dw_base + jnp.exp(-(k[:, None] ** 2) * sv2[None, :]) * (pk_m - pk_dw_base)
-    kkd = (k[:, None] / kd[None, :]) ** _ND
-    delta2_2h = (k[:, None] ** 3 / (2 * np.pi ** 2)) * pk_dw * (1.0 - f2h[None, :] * kkd / (1.0 + kkd))
+    pk_dw_base_t = _dewiggle_t(k, pt_m, h, omega_m, omega_b, theta_cmb, ns)
+    sv2 = _sigma_v2_t(k, pt_m)                            # (nz,)
+    pk_dw_t = pk_dw_base_t + jnp.exp(-(k[None, :] ** 2) * sv2[:, None]) * (pt_m - pk_dw_base_t)
+    kkd_t = (k[None, :] / kd[:, None]) ** _ND
+    k3_t = k[None, :] ** 3
+    delta2_2h_t = (k3_t / (2 * np.pi ** 2)) * pk_dw_t * (1.0 - f2h[:, None] * kkd_t / (1.0 + kkd_t))
 
     # ---- one-halo ingredients on the (R, z) grid
     sig = jnp.sqrt(sig2)
@@ -421,21 +456,21 @@ def hmcode2020(k, pk_cb, pk_m, Omega_mz, fnu, omega_m, omega_b, h, theta_cmb, ns
     # win^2, as a per-z matvec contracting the minor (lane) axis
     dlnR = lnR[1] - lnR[0]
     w_int = dnu_dlnR * _st_f(nu) * (4.0 * np.pi / 3.0) * R[:, None] ** 3 * dlnR  # (nR, nz)
-    pk_1h_sub = jnp.einsum('rz,zkr->kz', w_int, win ** 2)
+    pk_1h_sub = jnp.einsum('rz,zkr->zk', w_int, win ** 2)
     if len(isub) < nk:
         lnk = jnp.log(k)
-        ln_p1h = jnp.log(jnp.maximum(pk_1h_sub, 1e-300))
+        ln_p1h = jnp.log(jnp.maximum(pk_1h_sub, 1e-300)).T   # (nk1h, nz)
         Mk = natural_cubic_coeffs(lnk[isub], ln_p1h)
-        pk_1h = jnp.exp(cubic_eval(lnk[isub], ln_p1h, Mk, lnk))
+        pk_1h_t = jnp.exp(cubic_eval(lnk[isub], ln_p1h, Mk, lnk)).T  # (nz, nk)
     else:
-        pk_1h = pk_1h_sub
-    kks = (k[:, None] / kstar[None, :]) ** 4
-    delta2_1h = (k[:, None] ** 3 / (2 * np.pi ** 2)) * pk_1h * kks / (1.0 + kks)
+        pk_1h_t = pk_1h_sub
+    kks_t = (k[None, :] / kstar[:, None]) ** 4
+    delta2_1h_t = (k3_t / (2 * np.pi ** 2)) * pk_1h_t * kks_t / (1.0 + kks_t)
 
     # ---- smoothed transition
-    delta2 = (jnp.maximum(delta2_2h, 0.0) ** alpha[None, :]
-              + delta2_1h ** alpha[None, :]) ** (1.0 / alpha[None, :])
-    return delta2 * (2 * np.pi ** 2) / k[:, None] ** 3
+    delta2_t = (jnp.maximum(delta2_2h_t, 0.0) ** alpha[:, None]
+                + delta2_1h_t ** alpha[:, None]) ** (1.0 / alpha[:, None])
+    return (delta2_t * (2 * np.pi ** 2) / k3_t).T
 
 
 def hmcode_pk_interpolator(pk2d_m, background, cosmo_params, pk2d_cb=None, **kwargs):
