@@ -92,39 +92,51 @@ def linear_ode2_magnus(coeffs_fun, y0, t):
     off = h * (jnp.sqrt(3.0) / 6.0)
     s1, f1 = coeffs_fun(mid - off)
     s2, f2 = coeffs_fun(mid + off)
-    zeros = jnp.zeros_like(s1)
-    ones = jnp.ones_like(s1)
 
-    def amat(s, f):
-        return jnp.stack([jnp.stack([zeros, ones], -1),
-                          jnp.stack([s, f], -1)], -2)     # (n-1, 2, 2)
-
-    A1, A2 = amat(s1, f1), amat(s2, f2)
-    comm = A2 @ A1 - A1 @ A2
-    Omega = (h[:, None, None] / 2.0) * (A1 + A2) \
-        + (jnp.sqrt(3.0) * h[:, None, None] ** 2 / 12.0) * comm
+    # COMPONENT form throughout (TPU lane tiling): a (n-1, 2, 2) matrix
+    # stack puts the 2x2 on the two minor dims, which the TPU pads to
+    # (8, 128) — up to 2048x lane waste once the batched pipelines vmap a
+    # leading cosmology axis — and turns the prefix products into MXU
+    # dots of shape 2x2. Four (n-1,) component arrays keep the interval
+    # axis (and under vmap the batch axis) on the lanes, and the companion
+    # structure A = [[0, 1], [s, f]] constant-folds at trace time.
+    # Omega = h/2 (A1 + A2) + sqrt(3) h^2 / 12 [A2, A1], componentwise:
+    # [A2, A1] = [[ds, df], [f2 s1 - f1 s2, -ds]], ds = s1-s2, df = f1-f2
+    ch = jnp.sqrt(3.0) * h ** 2 / 12.0
+    ds, df = s1 - s2, f1 - f2
+    o00 = ch * ds
+    o01 = h + ch * df
+    o10 = h / 2.0 * (s1 + s2) + ch * (f2 * s1 - f1 * s2)
+    o11 = h / 2.0 * (f1 + f2) - ch * ds
 
     # closed-form expm of a 2x2 matrix: with B = Omega - (tr/2) I traceless,
     # B^2 = -det(B) I = q^2 I, so expm = e^{tr/2} (c0 I + c1 B) where
     # (c0, c1) = (cosh q, sinh(q)/q) for q^2 > 0 and (cos p, sin(p)/p) for
     # q^2 = -p^2 < 0 — both branches via even power series in q^2 near 0
-    tr2 = (Omega[..., 0, 0] + Omega[..., 1, 1]) / 2.0
-    eye = jnp.eye(2, dtype=Omega.dtype)
-    B = Omega - tr2[..., None, None] * eye
-    q2 = B[..., 0, 1] * B[..., 1, 0] + B[..., 0, 0] ** 2  # = -det(B)
+    tr2 = (o00 + o11) / 2.0
+    b00 = o00 - tr2                                       # b11 = -b00
+    q2 = o01 * o10 + b00 ** 2                             # = -det(B)
     q = jnp.sqrt(jnp.abs(q2))
     qs = jnp.where(q > 1e-8, q, 1.0)
     c0 = jnp.where(q2 >= 0, jnp.cosh(q), jnp.cos(q))
     c1 = jnp.where(q > 1e-8,
                    jnp.where(q2 >= 0, jnp.sinh(qs) / qs, jnp.sin(qs) / qs),
                    1.0 + q2 / 6.0)
-    P = jnp.exp(tr2)[..., None, None] * (c0[..., None, None] * eye
-                                         + c1[..., None, None] * B)
+    e = jnp.exp(tr2)
+    P = (e * (c0 + c1 * b00), e * c1 * o01,
+         e * c1 * o10, e * (c0 - c1 * b00))
 
     # prefix products: cum_i = P_i @ ... @ P_1 (combine(a, b) = b @ a)
-    cum = jax.lax.associative_scan(lambda a, b: b @ a, P)
-    y0 = jnp.asarray(y0, dtype=P.dtype)
-    ys = cum @ y0
+    def combine(a, b):
+        a00, a01, a10, a11 = a
+        b00_, b01, b10, b11 = b
+        return (b00_ * a00 + b01 * a10, b00_ * a01 + b01 * a11,
+                b10 * a00 + b11 * a10, b10 * a01 + b11 * a11)
+
+    cum = jax.lax.associative_scan(combine, P)
+    y0 = jnp.asarray(y0, dtype=P[0].dtype)
+    ys = jnp.stack([cum[0] * y0[0] + cum[1] * y0[1],
+                    cum[2] * y0[0] + cum[3] * y0[1]], axis=-1)
     return jnp.concatenate([y0[None, :], ys], axis=0)
 
 
@@ -143,25 +155,40 @@ def linear_ode2_rk4_prefix(coeffs_fun, y0, t):
     composed with jax.lax.associative_scan.  Returns (n, 2): (y, y').
     """
     t = jnp.asarray(t)
-    h = jnp.diff(t)[:, None, None]                        # (n-1, 1, 1)
+    h = jnp.diff(t)                                       # (n-1,)
     s_end, f_end = coeffs_fun(t)
     s_mid, f_mid = coeffs_fun((t[:-1] + t[1:]) / 2.0)
 
-    def amat(s, f):
-        zeros, ones = jnp.zeros_like(s), jnp.ones_like(s)
-        return jnp.stack([jnp.stack([zeros, ones], -1),
-                          jnp.stack([s, f], -1)], -2)
+    # COMPONENT form (see linear_ode2_magnus): 2x2s as 4-tuples of (n-1,)
+    # arrays keep the interval/batch axes on the TPU lanes instead of
+    # padding the (2, 2) minor dims to (8, 128), and the companion zeros/
+    # ones of A = [[0, 1], [s, f]] constant-fold out of the K products.
+    def mmul(x, y):
+        x00, x01, x10, x11 = x
+        y00, y01, y10, y11 = y
+        return (x00 * y00 + x01 * y10, x00 * y01 + x01 * y11,
+                x10 * y00 + x11 * y10, x10 * y01 + x11 * y11)
 
-    A1 = amat(s_end[:-1], f_end[:-1])
-    A2 = amat(s_mid, f_mid)
-    A3 = amat(s_end[1:], f_end[1:])
-    eye = jnp.eye(2, dtype=A1.dtype)
+    def iplus(x, c):                                      # I + c * x
+        x00, x01, x10, x11 = x
+        return (1.0 + c * x00, c * x01, c * x10, 1.0 + c * x11)
+
+    A1 = (0.0, 1.0, s_end[:-1], f_end[:-1])
+    A2 = (0.0, 1.0, s_mid, f_mid)
+    A3 = (0.0, 1.0, s_end[1:], f_end[1:])
     K1 = A1
-    K2 = A2 @ (eye + h / 2.0 * K1)
-    K3 = A2 @ (eye + h / 2.0 * K2)
-    K4 = A3 @ (eye + h * K3)
-    R = eye + h / 6.0 * (K1 + 2.0 * K2 + 2.0 * K3 + K4)
+    K2 = mmul(A2, iplus(K1, h / 2.0))
+    K3 = mmul(A2, iplus(K2, h / 2.0))
+    K4 = mmul(A3, iplus(K3, h))
+    Ksum = tuple(k1 + 2.0 * k2 + 2.0 * k3 + k4
+                 for k1, k2, k3, k4 in zip(K1, K2, K3, K4))
+    R = iplus(Ksum, h / 6.0)
 
-    cum = jax.lax.associative_scan(lambda a, b: b @ a, R)
-    y0 = jnp.asarray(y0, dtype=R.dtype)
-    return jnp.concatenate([y0[None, :], cum @ y0], axis=0)
+    def combine(a, b):                                    # b @ a
+        return mmul(b, a)
+
+    cum = jax.lax.associative_scan(combine, R)
+    y0 = jnp.asarray(y0, dtype=R[0].dtype)
+    ys = jnp.stack([cum[0] * y0[0] + cum[1] * y0[1],
+                    cum[2] * y0[0] + cum[3] * y0[1]], axis=-1)
+    return jnp.concatenate([y0[None, :], ys], axis=0)

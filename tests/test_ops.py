@@ -217,3 +217,45 @@ def test_bisect_endpoint_roots():
     assert abs(float(bisect(lambda v: 1.0 - v, limits=(1.0, 2.0))) - 1.0) < 1e-6
     with pytest.raises(ValueError):
         bisect(lambda v: v + 5.0, limits=(1.0, 2.0))
+
+
+def test_linear_ode2_propagators_vs_rk4_scan():
+    """The log-depth parallel-prefix propagators (component-form 2x2
+    algebra) reproduce the sequential rk4-on-scan integration of the same
+    linear 2nd-order ODE: rk4_prefix is the SAME recurrence re-associated
+    (agreement to fp round-off), the 4th-order Magnus agrees to the
+    discretization order; both vmap cleanly."""
+    import jax
+    from cosmoprimo_tpu.ops.odeint import (linear_ode2_magnus,
+                                           linear_ode2_rk4_prefix, odeint)
+
+    def coeffs(x):
+        return 1.5 * jnp.exp(-x) - 1.0, -2.0 + 0.1 * jnp.sin(x)
+
+    t = jnp.linspace(0.0, 3.0, 129)
+    y0 = jnp.array([1.0, 0.3])
+
+    def rhs(y, x):
+        s, f = coeffs(x)
+        return jnp.stack([y[1], s * y[0] + f * y[1]])
+
+    ref = odeint(rhs, y0, t, method='rk4')
+    got_rk4 = linear_ode2_rk4_prefix(coeffs, y0, t)
+    np.testing.assert_allclose(np.asarray(got_rk4), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    got_mag = linear_ode2_magnus(coeffs, y0, t)
+    np.testing.assert_allclose(np.asarray(got_mag), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+    # convergence: Magnus at 2x resolution is closer to dense rk4 truth
+    dense = odeint(rhs, y0, jnp.linspace(0.0, 3.0, 4097), method='rk4')[-1]
+    err1 = abs(float(got_mag[-1, 0]) - float(dense[0]))
+    err2 = abs(float(linear_ode2_magnus(coeffs, y0, jnp.linspace(0.0, 3.0, 257))[-1, 0])
+               - float(dense[0]))
+    assert err2 < err1 / 8.0  # ~4th order: 2x steps -> ~16x error drop
+
+    # vmap over a parameter batch (the pipelines' usage pattern)
+    def solve(a):
+        return linear_ode2_magnus(lambda x: (a * jnp.exp(-x) - 1.0, -2.0 + 0 * x),
+                                  y0, t)[-1, 0]
+    out = jax.vmap(solve)(jnp.array([1.2, 1.5, 1.8]))
+    assert out.shape == (3,) and bool(jnp.all(jnp.isfinite(out)))
