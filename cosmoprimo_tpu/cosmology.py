@@ -589,6 +589,7 @@ _ENGINE_MODULES = {
     'isitide': 'models.camb',
     'heftcamb': 'models.camb',
     'astropy': 'models.astropy',
+    'native': 'models.native',
 }
 
 

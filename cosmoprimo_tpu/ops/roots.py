@@ -109,4 +109,4 @@ def bisect(f, limits, flimits=None, xtol=1e-6, maxiter=100, method='ridders'):
 
     new = for_cond_loop(0, maxiter, cond_fun, body_fun, (state, 1.0 + xtol, (a + b) / 2.0))[-1]
     new = jnp.where(has_endpoint_root, endpoint_root, new)
-    return exception_or_nan(new, (sign == 0) & ~has_endpoint_root, error)
+    return exception_or_nan(new, (sign == 0) & jnp.logical_not(has_endpoint_root), error)
