@@ -1,0 +1,684 @@
+"""Linear cosmological perturbations, natively traced (Ma-Bertschinger).
+
+Solves the Einstein-Boltzmann system in the conformal Newtonian gauge
+(Ma & Bertschinger 1995, ApJ 455, 7: metric eqs 23, fluids eqs 29-30/66,
+photon/neutrino hierarchies eqs 63-64 incl. polarization, massive-neutrino
+momentum hierarchy eqs 56-58, adiabatic initial conditions eq 98) for the
+matter transfer functions and linear power spectrum - the quantities the
+reference can only obtain from external CLASS/CAMB builds.
+
+TPU-first architecture (no adaptive stepping, no data-dependent shapes):
+
+- k-modes ride the LANE axis: the state is one (n_state, nk) f64 array and
+  every operation is elementwise over k or a static slice over the state
+  axis; a batch of cosmologies vmaps on a leading axis.
+- Each k-mode gets its own FIXED-LENGTH time grid (two `lax.scan`s of
+  static length), with steps distributed by integrating a per-k step
+  density on a master grid: acoustic-phase sampling (deta <= alpha/k),
+  log-conformal-time sampling (deta <= beta eta), and an explicit-
+  stability band (deta <= 2.24/kappa') that switches on only where tight
+  coupling has been released. The density integral -> grid inversion is
+  closed-form interpolation - computed once, outside the scans.
+- Stiff regimes are algebraic, not adaptive: first-order tight-coupling
+  (slip + 32/45 polarization-corrected shear) while kappa' > 50 max(k, aH),
+  and radiation streaming (delta_g = -4 psi, theta_g = 3 phi') after
+  decoupling once k eta > 45, with the massive neutrinos dropped to an
+  adiabatic viscous fluid. Regime changes are per-(step, k) `jnp.where`
+  blends on a static graph.
+- Outputs at requested redshifts are harvested inside the scans by
+  per-step linear blending (no grid alignment constraints).
+
+Normalization: comoving curvature R = 1 via MB95's C = 1/2 (the identity
+R = 2C holds exactly for the eq-98 adiabatic set, independent of the
+neutrino fraction). Transfers are converted to the CDM-comoving
+(synchronous/CAMB) gauge for comparison with CLASS output:
+delta^syn_i = delta^N_i + 3 aH (1+w_i) theta_c / k^2.
+
+Validation: tests/test_perturbations.py anchors the transfer functions and
+P(k)/P_cb(k) against the CLASS v3.1.1 outputs archived by the reference
+(tests/fiducial/abacus_cosm000_*_tk.dat / _pk.dat at z = 0, 1, 3, 7, 49).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..ops.quadrature import gauss_laguerre_nodes
+from . import thermodynamics as _thermo
+
+# hierarchy truncations (CLASS-like defaults)
+LMAX_G = 11        # photon temperature: delta, theta, F_2..F_LMAX_G
+LMAX_POL = 11      # photon polarization: G_0..G_LMAX_POL
+LMAX_UR = 17       # massless neutrinos: F_0..F_LMAX_UR
+LMAX_NCDM = 8      # massive neutrinos: Psi_0..Psi_LMAX_NCDM per q-bin
+NQ_NCDM = 5        # Gauss-Laguerre momentum bins
+
+N_STEPS_A = 10240  # full-hierarchy phase
+N_STEPS_B = 4096   # streaming phase
+M_TAB = 8192       # uniform-ln(eta) coefficient tables
+
+ALPHA_PHASE = 0.5  # deta <= ALPHA/k   (~22 samples per acoustic cycle)
+BETA_LN = 0.004    # deta <= BETA eta
+KAPPA_SAFE = 0.45  # deta <= KAPPA_SAFE * 2.8 / kappa' in the release band
+TCA_TRIGGER = 50.0  # tight coupling while kappa' > TRIGGER * max(k, aH)
+RSA_KETA = 45.0    # streaming once k eta > 45 and eta > eta(z~900)
+
+_C_KMS = constants.c / 1e3
+
+# state layout (per k): see _unpack
+_I_PHI, _I_DC, _I_TC, _I_DB, _I_TB, _I_DG, _I_TG = 0, 1, 2, 3, 4, 5, 6
+_I_FG = 7                      # F_gamma_2 .. F_gamma_LMAX_G   (LMAX_G-1)
+_I_GP = _I_FG + (LMAX_G - 1)   # G_0 .. G_LMAX_POL             (LMAX_POL+1)
+_I_UR = _I_GP + (LMAX_POL + 1)  # F_ur_0 .. F_ur_LMAX_UR       (LMAX_UR+1)
+_I_NC = _I_UR + (LMAX_UR + 1)  # Psi_{q,l}: NQ * (LMAX_NCDM+1)
+N_STATE = _I_NC + NQ_NCDM * (LMAX_NCDM + 1)
+
+
+def _ncdm_q():
+    """Gauss-Laguerre q-grid and Fermi-Dirac weights. Integrals of
+    g(q) f0(q) over q use sum(w_fd * g(q_i)) with w_fd = w_i e^{q_i} f0.
+
+    dlnf0 is RESCALED so the discrete quadrature satisfies the
+    integration-by-parts identity int q^4 f0' dq = -4 int q^3 f0 dq
+    exactly: the identity ties the hierarchy's metric sources (which carry
+    dlnf0) to the background (1+w), and a quadrature-level violation is a
+    persistent source inconsistency that the superhorizon phi'
+    cancellation amplifies into a growing transfer-function error."""
+    q, w = gauss_laguerre_nodes(NQ_NCDM)
+    f0 = 1.0 / (np.exp(q) + 1.0)
+    w_fd = w * np.exp(q) * f0
+    dlnf0 = -q / (1.0 + np.exp(-q))          # dln f0 / dln q
+    scale = -4.0 * np.sum(w_fd * q ** 3) / np.sum(w_fd * q ** 3 * dlnf0)
+    dlnf0 = dlnf0 * scale
+    return (jnp.asarray(q), jnp.asarray(w_fd), jnp.asarray(dlnf0))
+
+
+def build_tables(params, thermo):
+    """Uniform-ln(eta) coefficient tables for the integration.
+
+    ``params``: dict with omega_b, omega_cdm, h, T_cmb, N_ur, m_ncdm (one
+    species; 0 for none), T_ncdm_over_cmb, w0_fld, wa_fld.
+    ``thermo``: ThermodynamicsResult (kappa', T_m on its ln a grid).
+    """
+    h = params['h']
+    T_cmb = params['T_cmb']
+    omega_g = (T_cmb ** 4 * 4.0 / constants.c ** 3 * constants.Stefan_Boltzmann
+               / constants.rho_crit_over_kgph_per_mph3)
+    omega_ur = params['N_ur'] * 7.0 / 8.0 * (4.0 / 11.0) ** (4.0 / 3.0) * omega_g
+    omega_b = params['omega_b']
+    omega_c = params['omega_cdm']
+
+    # master ln a grid, extended to a = 1e-9 for high-k initial conditions
+    lna = jnp.asarray(np.linspace(np.log(1e-9), 0.0, 2 * M_TAB + 1))
+    a = jnp.exp(lna)
+
+    # ncdm energy/pressure on the SAME 5-point GL grid as the evolution
+    q, w_fd, _ = _ncdm_q()
+    T_ncdm_eV = (params['T_ncdm_over_cmb'] * T_cmb) * 8.617333262e-5  # K -> eV
+    am = params['m_ncdm'] / T_ncdm_eV                                 # a m / T0
+    eps = jnp.sqrt(q[None, :] ** 2 + (a[:, None] * am) ** 2)          # (n, NQ)
+    I_rho = jnp.sum(w_fd * q ** 2 * eps, axis=-1)                     # (n,)
+    I_p = jnp.sum(w_fd * q ** 4 / eps, axis=-1) / 3.0
+    I_rho0 = I_rho[-1]
+    has_ncdm = params['m_ncdm'] > 0
+    omega_nc0 = params.get('omega_ncdm', 0.0)
+
+    # omega_i(a) = Omega_i(a) h^2 a^4-scaled; all relative to rho_crit0
+    om_g = omega_g / a ** 4
+    om_ur = omega_ur / a ** 4
+    om_c = omega_c / a ** 3
+    om_b = omega_b / a ** 3
+    om_nc = jnp.where(has_ncdm, omega_nc0 * (I_rho / I_rho0) / a ** 4, 0.0)
+    om_nc_p = jnp.where(has_ncdm, omega_nc0 * (I_p / I_rho0) / a ** 4, 0.0)
+    w0, wa = params['w0_fld'], params['wa_fld']
+    omega_de0 = h ** 2 - omega_g - omega_ur - omega_c - omega_b - jnp.where(has_ncdm, omega_nc0, 0.0)
+    om_de = omega_de0 * a ** (-3.0 * (1.0 + w0 + wa)) * jnp.exp(3.0 * wa * (a - 1.0))
+    om_tot = om_g + om_ur + om_c + om_b + om_nc + om_de
+
+    Hc = a * 100.0 * jnp.sqrt(om_tot) / _C_KMS  # conformal Hubble, 1/Mpc
+
+    # conformal time eta(ln a): d eta = d ln a / Hc; radiation-era start value
+    deta = 1.0 / Hc
+    eta = jnp.concatenate([jnp.zeros(1),
+                           jnp.cumsum(0.5 * (deta[1:] + deta[:-1]) * (lna[1] - lna[0]))])
+    eta = eta + 1.0 / Hc[0]
+
+    # kappa' and baryon temperature from the thermodynamics grid; analytic
+    # fully-ionized extension below its a = 1e-8 start
+    lna_th = jnp.asarray(_thermo.LNA_GRID)
+    kp_th = thermo.kappa_prime
+    xe_early = 1.0 + 2.0 * thermo.f_He
+    kp_early = xe_early * thermo.n_H0 * _thermo.sigma_thomson * constants.megaparsec_over_m / jnp.exp(lna) ** 2
+    kp = jnp.where(lna >= lna_th[0], jnp.interp(lna, lna_th, kp_th), kp_early)
+    T_m = jnp.where(lna >= lna_th[0], jnp.interp(lna, lna_th, thermo.T_m), T_cmb / a)
+    # baryon sound speed^2: (k_B T / mu m_H c^2)(1 - dlnT/dlna / 3)
+    mu_mH = (1.0 + _thermo.not4 * thermo.f_He) / (1.0 + thermo.f_He + jnp.interp(lna, lna_th, thermo.x_e))
+    dlnT = jnp.gradient(jnp.log(T_m)) / (lna[1] - lna[0])
+    cb2 = (constants.Boltzmann * T_m / (mu_mH * _thermo.m_hydrogen * constants.c ** 2)
+           * (1.0 - dlnT / 3.0))
+
+    # resample everything on a uniform ln(eta) grid
+    lneta_m = jnp.log(eta)
+    lneta = jnp.linspace(lneta_m[0], lneta_m[-1], M_TAB)
+
+    def res(x):
+        return jnp.interp(lneta, lneta_m, x)
+
+    w_nc = jnp.where(om_nc > 0, om_nc_p / jnp.maximum(om_nc, 1e-300), 0.0)
+    dw = jnp.gradient(w_nc) / (lna[1] - lna[0])
+    tabs = {
+        'lneta0': lneta[0], 'dlneta': lneta[1] - lneta[0], 'lneta': lneta,
+        'lna': res(lna), 'Hc': res(Hc), 'kp': res(kp), 'cb2': res(cb2),
+        'fg': res(om_g / om_tot), 'fur': res(om_ur / om_tot),
+        'fc': res(om_c / om_tot), 'fb': res(om_b / om_tot),
+        'fnc': res(om_nc / om_tot), 'fde': res(om_de / om_tot),
+        'w_nc': res(w_nc), 'dw_nc': res(dw),
+        'w_de': w0 + wa * (1.0 - res(jnp.exp(lna))),
+        'I_rho_ratio': res(I_rho / I_rho0),
+        'eta0': eta[-1], 'eta_ini_min': eta[0] * 1.05, 'am': am,
+        # latest allowed start: a = 1e-7, where the matter fraction is
+        # ~3e-4. The MB95 adiabatic set assumes aH eta = 1 (pure RD);
+        # starting at a = 1e-5 (matter ~3%) shifts the conserved comoving
+        # curvature by several percent and every transfer with it.
+        'eta_rd': jnp.interp(jnp.log(1e-7), lna, eta),
+    }
+    # stack the per-step fetch targets into one (Q, M) table. POSITIVE
+    # quantities are stored as ln(x): they are exponential-like in ln(eta),
+    # so linear interpolation of the log removes the systematic convexity
+    # bias of direct interpolation - which the near-cancellation in the
+    # superhorizon phi' (|phi'| ~ 1e-2 Hc psi) amplifies ~100x and, left
+    # in, dragged the large-scale transfers ~10% off CLASS.
+    rows = []
+    for n in _STACK_NAMES:
+        if n in _LOG_NAMES:
+            rows.append(jnp.log(jnp.maximum(tabs[n], 1e-300)))
+        else:
+            rows.append(tabs[n])
+    tabs['stack'] = jnp.stack(rows)
+    return tabs
+
+
+_STACK_NAMES = ('lna', 'Hc', 'kp', 'cb2', 'fg', 'fur', 'fc', 'fb', 'fnc',
+                'fde', 'w_nc', 'dw_nc', 'w_de')
+_LOG_NAMES = frozenset(('Hc', 'kp', 'cb2', 'fg', 'fur', 'fc', 'fb', 'fnc', 'fde'))
+_LOG_MASK = np.array([n in _LOG_NAMES for n in _STACK_NAMES])[:, None]
+
+
+def _fetch(tabs, eta):
+    """Interpolate the stacked coefficient table at (possibly per-k) eta.
+    Uniform ln(eta) grid -> pure index arithmetic, no searchsorted;
+    log-stored rows are exponentiated back."""
+    x = (jnp.log(eta) - tabs['lneta0']) / tabs['dlneta']
+    i = jnp.clip(x.astype(jnp.int32), 0, M_TAB - 2)
+    w = jnp.clip(x - i, 0.0, 1.0)
+    s = tabs['stack']
+    vals = s[:, i] * (1.0 - w) + s[:, i + 1] * w
+    vals = jnp.where(jnp.asarray(_LOG_MASK), jnp.exp(vals), vals)
+    return dict(zip(_STACK_NAMES, vals))
+
+
+def build_time_grids(tabs, k):
+    """Per-k integration grids: (eta_i, deta_i) arrays for both phases.
+
+    Step density on the master grid: rho = max(k/ALPHA, 1/(BETA eta),
+    kappa'/(2.8 KAPPA_SAFE) where tight coupling is off). The cumulative
+    density s(eta) maps a uniform index grid onto eta via interpolation.
+    """
+    eta_m = jnp.exp(tabs['lneta'])
+    kpm, Hcm = tabs['kp'], tabs['Hc']
+    eta0 = tabs['eta0']
+    k = k[:, None]                                     # (nk, 1)
+    tca_off = kpm[None, :] < TCA_TRIGGER * jnp.maximum(k, Hcm[None, :])
+    dens = jnp.maximum(k / ALPHA_PHASE, 1.0 / (BETA_LN * eta_m)[None, :])
+    dens = jnp.maximum(dens, jnp.where(tca_off, kpm[None, :] / (2.8 * KAPPA_SAFE), 0.0))
+    seg = 0.5 * (dens[:, 1:] + dens[:, :-1]) * jnp.diff(eta_m)[None, :]
+    s = jnp.concatenate([jnp.zeros((k.shape[0], 1)), jnp.cumsum(seg, axis=1)], axis=1)
+
+    eta_ini = jnp.clip(0.03 / k[:, 0], tabs['eta_ini_min'], tabs['eta_rd'])
+    eta_dec = jnp.interp(jnp.log(1.0 / 901.0), tabs['lna'], eta_m)  # eta(z=900)
+    eta_Aend = jnp.clip(RSA_KETA / k[:, 0], eta_dec, eta0)
+
+    def s_of(eta_q):
+        return jax.vmap(jnp.interp)(eta_q, jnp.broadcast_to(eta_m, (eta_q.shape[0], M_TAB)), s)
+
+    s_ini, s_end = s_of(eta_ini), s_of(eta_Aend)
+    idx = jnp.linspace(0.0, 1.0, N_STEPS_A + 1)
+    s_grid = s_ini[:, None] + (s_end - s_ini)[:, None] * idx[None, :]
+    eta_A = jax.vmap(jnp.interp)(s_grid, s, jnp.broadcast_to(eta_m, s.shape))  # (nk, N+1)
+
+    # phase B: ln-eta sampling PLUS the massive-neutrino acoustic phase -
+    # the fluid is still semi-relativistic at handoff (c_g^2 ~ 0.2) and its
+    # k sqrt(c_g^2) oscillation must stay inside the RK4 stability disc
+    w_nc = tabs['w_nc']
+    cg2m = jnp.maximum(w_nc - tabs['dw_nc'] / (3.0 * (1.0 + w_nc)), 0.0)
+    densB = jnp.maximum(1.0 / (BETA_LN * eta_m)[None, :],
+                        k * jnp.sqrt(cg2m)[None, :] / 2.4)
+    segB = 0.5 * (densB[:, 1:] + densB[:, :-1]) * jnp.diff(eta_m)[None, :]
+    sB = jnp.concatenate([jnp.zeros((k.shape[0], 1)), jnp.cumsum(segB, axis=1)], axis=1)
+    sB_ini, sB_end = (jax.vmap(jnp.interp)(x, jnp.broadcast_to(eta_m, sB.shape), sB)
+                      for x in (eta_Aend, jnp.broadcast_to(eta0 * (1.0 + 1e-9), eta_Aend.shape)))
+    idxB = jnp.linspace(0.0, 1.0, N_STEPS_B + 1)
+    sB_grid = sB_ini[:, None] + (sB_end - sB_ini)[:, None] * idxB[None, :]
+    eta_B = jax.vmap(jnp.interp)(sB_grid, sB, jnp.broadcast_to(eta_m, sB.shape))
+    eta_B = jnp.minimum(eta_B, eta0 * (1.0 + 1e-9))
+    return eta_A, eta_B, eta_ini
+
+
+def adiabatic_ics(tabs, k, eta_ini):
+    """MB95 eq. 98 adiabatic initial conditions with C = 1/2 (=> comoving
+    curvature R = 1 exactly)."""
+    c = _fetch(tabs, eta_ini)
+    frad = c['fg'] + c['fur'] + c['fnc']
+    Rnu = (c['fur'] + c['fnc']) / frad
+    C = 0.5
+    psi = 20.0 * C / (15.0 + 4.0 * Rnu)
+    phi = (1.0 + 2.0 / 5.0 * Rnu) * psi
+    dg = -2.0 * psi
+    # the "eta" of the MB95 series is the RADIATION-ERA conformal time,
+    # i.e. 1/(aH) - NOT the literal eta(a) of the real background. With
+    # matter contamination f_m, aH eta_true = 1 + f_m/2, and using
+    # eta_true here injects a FIXED-amplitude neutrino/matter velocity
+    # isocurvature admixture (the f_m(a_ini) offset is amplified ~1/f_m by
+    # its RD growth, so it does not converge away with earlier starts):
+    # measured +10% on every transfer function. 1/(aH) converges.
+    eta_rd_ic = 1.0 / c['Hc']
+    th = 0.5 * (k ** 2 * eta_rd_ic) * psi
+    # sigma_nu = (k eta)^2 psi / 15: the unique value consistent with BOTH
+    # the l=2 hierarchy growth (F2' = 2k F1/5, F1 = 2 k eta psi/3) and the
+    # anisotropic-stress constraint phi = (1 + 2 R_nu/5) psi. An
+    # inconsistent sigma_nu here (e.g. the (phi+psi)/30 variant, 8% high)
+    # seeds the same growing contamination.
+    sig_nu = (k * eta_rd_ic) ** 2 / 15.0 * psi
+
+    y = jnp.zeros((N_STATE, k.shape[0]))
+    y = y.at[_I_PHI].set(phi)
+    y = y.at[_I_DC].set(0.75 * dg)
+    y = y.at[_I_TC].set(th)
+    y = y.at[_I_DB].set(0.75 * dg)
+    y = y.at[_I_TB].set(th)
+    y = y.at[_I_DG].set(dg)
+    y = y.at[_I_TG].set(th)
+    # massless neutrinos: F0 = dg, F1 = 4 theta/(3k), F2 = 2 sigma
+    y = y.at[_I_UR + 0].set(dg)
+    y = y.at[_I_UR + 1].set(4.0 * th / (3.0 * k))
+    y = y.at[_I_UR + 2].set(2.0 * sig_nu)
+    # ncdm: Psi_0 = -(delta/4) dlnf0, Psi_1 = -(eps/(3qk)) theta dlnf0,
+    #       Psi_2 = -(sigma/2) dlnf0
+    q, _, dlnf0 = _ncdm_q()
+    a_ini = jnp.exp(jnp.interp(jnp.log(eta_ini), tabs['lneta'], tabs['lna']))
+    eps = jnp.sqrt(q[:, None] ** 2 + (a_ini[None, :] * tabs['am']) ** 2)  # (NQ, nk)
+    for j in range(NQ_NCDM):
+        base = _I_NC + j * (LMAX_NCDM + 1)
+        y = y.at[base + 0].set(-0.25 * dg * dlnf0[j])
+        y = y.at[base + 1].set(-(eps[j] / (3.0 * q[j] * k)) * th * dlnf0[j])
+        y = y.at[base + 2].set(-0.5 * sig_nu * dlnf0[j])
+    return y
+
+
+def _ncdm_moments(y, a, am):
+    """delta, (1+w)theta/k, (1+w)sigma of the massive species from the
+    momentum hierarchy (ratios of GL integrals; MB95 eq 55)."""
+    q, w_fd, _ = _ncdm_q()
+    eps = jnp.sqrt(q[:, None] ** 2 + (a[None, :] * am) ** 2)  # (NQ, nk)
+    psi = y[_I_NC:_I_NC + NQ_NCDM * (LMAX_NCDM + 1)]
+    psi = psi.reshape(NQ_NCDM, LMAX_NCDM + 1, -1)
+    I_rho = jnp.sum(w_fd[:, None] * q[:, None] ** 2 * eps, axis=0)
+    delta = jnp.sum(w_fd[:, None] * q[:, None] ** 2 * eps * psi[:, 0], axis=0) / I_rho
+    # (rho+p) theta / rho = k * int q^3 f0 Psi_1 / int q^2 eps f0
+    opw_theta_over_k = jnp.sum(w_fd[:, None] * q[:, None] ** 3 * psi[:, 1], axis=0) / I_rho
+    opw_sigma = (2.0 / 3.0) * jnp.sum(w_fd[:, None] * q[:, None] ** 4 / eps * psi[:, 2], axis=0) / I_rho
+    return delta, opw_theta_over_k, opw_sigma
+
+
+def deriv_full(y, k, eta, c, am):
+    """Time derivative of the full phase-A state (MB95 system), with the
+    tight-coupling branch applied per-(k) where kappa' > 50 max(k, aH)."""
+    Hc, kp, cb2 = c['Hc'], c['kp'], c['cb2']
+    fg, fur, fc, fb, fnc = c['fg'], c['fur'], c['fc'], c['fb'], c['fnc']
+    a = jnp.exp(c['lna'])
+
+    phi = y[_I_PHI]
+    dc, tc, db, tb, dg, tg = (y[_I_DC], y[_I_TC], y[_I_DB], y[_I_TB], y[_I_DG], y[_I_TG])
+    Fg = y[_I_FG:_I_FG + (LMAX_G - 1)]       # F_2..F_LMAX_G
+    G = y[_I_GP:_I_GP + (LMAX_POL + 1)]      # G_0..G_LMAX_POL
+    Fur = y[_I_UR:_I_UR + (LMAX_UR + 1)]
+
+    tca = (kp > TCA_TRIGGER * Hc) & (kp > TCA_TRIGGER * k)
+    Fg2 = jnp.where(tca, (32.0 / 45.0) * tg / kp, Fg[0])
+    sig_g = 0.5 * Fg2
+
+    nc_delta, nc_opw_th_k, nc_opw_sig = _ncdm_moments(y, a, am)
+
+    # metric: psi from anisotropic stress, phi' from the momentum constraint.
+    # The slaved photon shear is EXCLUDED from the metric while tight
+    # coupling holds: its psi contribution is physically O(aH^2 eta/kappa')
+    # (< 1e-3), but in an explicit scheme it continuously injects velocity
+    # isocurvature through the superhorizon phi' cancellation (measured
+    # +60% on phi through equality). It stays in the momentum equations,
+    # where the Silk-damping physics lives.
+    H2k2 = Hc ** 2 / k ** 2
+    Fg2_metric = jnp.where(tca, 0.0, Fg[0])
+    stress = (2.0 / 3.0) * (fg * Fg2_metric + fur * Fur[2]) + fnc * nc_opw_sig
+    psi = phi - 4.5 * H2k2 * stress
+    tur = 0.75 * k * Fur[1]
+    Stheta = fc * tc + fb * tb + (4.0 / 3.0) * (fg * tg + fur * tur) + fnc * k * nc_opw_th_k
+    phip = -Hc * psi + 1.5 * H2k2 * Stheta
+
+    k2psi = k ** 2 * psi
+
+    # --- CDM / baryons
+    ddc = -tc + 3.0 * phip
+    dtc = -Hc * tc + k2psi
+    ddb = -tb + 3.0 * phip
+    ddg = -(4.0 / 3.0) * tg + 4.0 * phip
+
+    R = (4.0 / 3.0) * fg / fb
+    # full (post-TCA) momentum equations WITHOUT the Thomson drag: the drag
+    # eigenvalue is kappa'(1+R) with R = 4 rho_g/(3 rho_b) ~ 10-20 at the
+    # tight-coupling exit - far too stiff for the explicit grid. The drag
+    # pair is integrated exactly per step by the ETD map in _drag_etd
+    # (V = (theta_b + R theta_g)/(1+R) is drag-invariant; the slip relaxes
+    # to its quasi-steady value on e^{-kappa'(1+R) deta}).
+    dtb_full = -Hc * tb + cb2 * k ** 2 * db + k2psi
+    dtg_full = k ** 2 * (0.25 * dg - sig_g) + k2psi
+    # first-order tight coupling: MB95 eq 74-75
+    wtot = (fg + fur) / 3.0 + c['w_nc'] * fnc + c['w_de'] * c['fde']
+    aH2_over_a = 0.5 * Hc ** 2 * (1.0 - 3.0 * wtot)          # a''/a = H' + H^2
+    slip = ((2.0 * R / (1.0 + R)) * Hc * (tb - tg)
+            + (R / (kp * (1.0 + R))) * (-aH2_over_a * tb
+                                        - Hc * k ** 2 * (0.5 * dg + psi)
+                                        + k ** 2 * (cb2 * ddb - 0.25 * ddg)))
+    dtb_tca = (-Hc * tb + cb2 * k ** 2 * db + R * k ** 2 * (0.25 * dg - sig_g)
+               + (1.0 + R) * k2psi + R * slip) / (1.0 + R)
+    dtg_tca = dtb_tca - slip
+    dtb = jnp.where(tca, dtb_tca, dtb_full)
+    dtg = jnp.where(tca, dtg_tca, dtg_full)
+
+    # --- photon hierarchy l >= 2 (full branch; TCA overwrites after step)
+    PI = Fg2 + G[0] + G[2]
+    F1 = 4.0 * tg / (3.0 * k)
+    Fg_all = jnp.concatenate([F1[None], Fg], axis=0)  # Fg_all[i] = F_{i+1}
+    dFg = []
+    for l in range(2, LMAX_G + 1):
+        Fm = Fg_all[l - 2]                            # F_{l-1}
+        Fp = Fg_all[l] if l < LMAX_G else (
+            ((2.0 * LMAX_G + 1.0) / (k * eta)) * Fg_all[LMAX_G - 1] - Fg_all[LMAX_G - 2])
+        if l == 2:
+            scat = -kp * (0.9 * Fg_all[1] - 0.1 * (G[0] + G[2]))
+        else:
+            scat = -kp * Fg_all[l - 1]
+        d = k / (2.0 * l + 1.0) * (l * Fm - (l + 1.0) * Fp) + scat
+        dFg.append(d)
+    dFg = jnp.stack(dFg)
+
+    # polarization
+    dG = []
+    for l in range(0, LMAX_POL + 1):
+        Gm = G[l - 1] if l > 0 else jnp.zeros_like(G[0])
+        Gp = G[l + 1] if l < LMAX_POL else (
+            ((2.0 * LMAX_POL + 1.0) / (k * eta)) * G[LMAX_POL] - G[LMAX_POL - 1])
+        src = 0.5 * PI if l == 0 else (0.1 * PI if l == 2 else 0.0)
+        d = k / (2.0 * l + 1.0) * (l * Gm - (l + 1.0) * Gp) + kp * (-G[l] + src)
+        dG.append(d)
+    dG = jnp.stack(dG)
+
+    # massless neutrinos
+    dUr = []
+    for l in range(0, LMAX_UR + 1):
+        if l == 0:
+            d = -k * Fur[1] + 4.0 * phip
+        elif l == 1:
+            d = k / 3.0 * (Fur[0] - 2.0 * Fur[2]) + (4.0 / 3.0) * k * psi
+        else:
+            Fp = Fur[l + 1] if l < LMAX_UR else (
+                ((2.0 * LMAX_UR + 1.0) / (k * eta)) * Fur[LMAX_UR] - Fur[LMAX_UR - 1])
+            d = k / (2.0 * l + 1.0) * (l * Fur[l - 1] - (l + 1.0) * Fp)
+        dUr.append(d)
+    dUr = jnp.stack(dUr)
+
+    # massive neutrinos
+    q, _, dlnf0 = _ncdm_q()
+    eps = jnp.sqrt(q[:, None] ** 2 + (a[None, :] * am) ** 2)
+    psi_nc = y[_I_NC:].reshape(NQ_NCDM, LMAX_NCDM + 1, -1)
+    dNc = []
+    for j in range(NQ_NCDM):
+        qe = q[j] * k / eps[j]
+        for l in range(0, LMAX_NCDM + 1):
+            if l == 0:
+                d = -qe * psi_nc[j, 1] - phip * dlnf0[j]
+            elif l == 1:
+                d = qe / 3.0 * (psi_nc[j, 0] - 2.0 * psi_nc[j, 2]) - (eps[j] * k / (3.0 * q[j])) * psi * dlnf0[j]
+            else:
+                Pp = psi_nc[j, l + 1] if l < LMAX_NCDM else (
+                    ((2.0 * LMAX_NCDM + 1.0) * eps[j] / (q[j] * k * eta)) * psi_nc[j, LMAX_NCDM]
+                    - psi_nc[j, LMAX_NCDM - 1])
+                d = qe / (2.0 * l + 1.0) * (l * psi_nc[j, l - 1] - (l + 1.0) * Pp)
+            dNc.append(d)
+    dNc = jnp.stack(dNc)
+
+    return jnp.concatenate([jnp.stack([phip, ddc, dtc, ddb, dtb, ddg, dtg]),
+                            dFg, dG, dUr, dNc], axis=0)
+
+
+def _drag_etd(y0, y1, k, d, cm, c1):
+    """Exponential (ETD) update of the photon-baryon Thomson drag over one
+    step, applied where tight coupling is off.
+
+    Exact integration of S' = D - kappa'(1+R) S for the slip
+    S = theta_b - theta_g (D = the slow forcing, which CANCELS k^2 psi),
+    with the drag-invariant V = (theta_b + R theta_g)/(1+R) taken from the
+    drag-free RK4 end state: S_new = S_0 e^{-z} + d phi1(z) D_mid,
+    phi1(z) = (1-e^{-z})/z. Unconditionally stable, exact in both the
+    slaved (z >> 1) and free (z -> 0) limits."""
+    kp, Hc, cb2 = cm['kp'], cm['Hc'], cm['cb2']
+    R = (4.0 / 3.0) * cm['fg'] / cm['fb']
+    lam = kp * (1.0 + R)
+    z = lam * d
+    e = jnp.exp(-z)
+    phi1 = jnp.where(z > 1e-8, -jnp.expm1(-z) / jnp.where(z > 1e-8, z, 1.0), 1.0 - 0.5 * z)
+
+    ym = 0.5 * (y0 + y1)
+    sig_m = 0.5 * ym[_I_FG]
+    D = -Hc * ym[_I_TB] + cb2 * k ** 2 * ym[_I_DB] - k ** 2 * (0.25 * ym[_I_DG] - sig_m)
+    S0 = y0[_I_TB] - y0[_I_TG]
+    S_new = S0 * e + d * phi1 * D
+    V = (y1[_I_TB] + R * y1[_I_TG]) / (1.0 + R)
+
+    tca = (c1['kp'] > TCA_TRIGGER * c1['Hc']) & (c1['kp'] > TCA_TRIGGER * k)
+    tb_new = jnp.where(tca, y1[_I_TB], V + R / (1.0 + R) * S_new)
+    tg_new = jnp.where(tca, y1[_I_TG], V - 1.0 / (1.0 + R) * S_new)
+    y1 = y1.at[_I_TB].set(tb_new)
+    y1 = y1.at[_I_TG].set(tg_new)
+    return y1
+
+
+def _tca_project(y, k, c):
+    """Overwrite the tight-coupling-slaved photon moments with their
+    algebraic values where TCA is active (continuous handoff).
+
+    theta_g is SET to theta_b - S_qss rather than integrated: evolving the
+    slip as its own ODE through the first-order TCA expression drops the
+    -kappa'(1+R) S damping and leaves an artificial S' ~ 2 aH S growing
+    mode (~a^2 over the radiation era - order unity by recombination)."""
+    kp, Hc = c['kp'], c['Hc']
+    tca = (kp > TCA_TRIGGER * Hc) & (kp > TCA_TRIGGER * k)
+    R = (4.0 / 3.0) * c['fg'] / c['fb']
+    sig_g = 0.5 * (32.0 / 45.0) * y[_I_TG] / kp
+    D = (-Hc * y[_I_TB] + c['cb2'] * k ** 2 * y[_I_DB]
+         - k ** 2 * (0.25 * y[_I_DG] - sig_g))
+    S_qss = D / (kp * (1.0 + R))
+    y = y.at[_I_TG].set(jnp.where(tca, y[_I_TB] - S_qss, y[_I_TG]))
+    Fg2 = (32.0 / 45.0) * y[_I_TG] / kp
+    y = y.at[_I_FG].set(jnp.where(tca, Fg2, y[_I_FG]))
+    y = y.at[_I_GP + 0].set(jnp.where(tca, 1.25 * Fg2, y[_I_GP + 0]))
+    y = y.at[_I_GP + 2].set(jnp.where(tca, 0.25 * Fg2, y[_I_GP + 2]))
+    for idx in range(_I_FG + 1, _I_FG + (LMAX_G - 1)):
+        y = y.at[idx].set(jnp.where(tca, 0.0, y[idx]))
+    for l in (1,) + tuple(range(3, LMAX_POL + 1)):
+        y = y.at[_I_GP + l].set(jnp.where(tca, 0.0, y[_I_GP + l]))
+    return y
+
+
+def deriv_rsa(yB, k, eta, c, am):
+    """Streaming-phase derivative: reduced state (phi, dc, tc, db, tb,
+    dn, tn, sn) with radiation algebraic (delta = -4 psi, theta = 3 phi')
+    and the massive species as an adiabatic viscous fluid."""
+    del eta, am
+    Hc, kp, cb2 = c['Hc'], c['kp'], c['cb2']
+    fg, fur, fc, fb, fnc = c['fg'], c['fur'], c['fc'], c['fb'], c['fnc']
+    w = c['w_nc']
+    cg2 = w - c['dw_nc'] / (3.0 * (1.0 + w))
+    phi, dc, tc, db, tb, dn, tn, sn = yB
+
+    H2k2 = Hc ** 2 / k ** 2
+    psi = phi - 4.5 * H2k2 * fnc * (1.0 + w) * sn
+    # phi' with theta_rad = 3 phi' folded in (exact small solve)
+    src = -Hc * psi + 1.5 * H2k2 * (fc * tc + fb * tb + fnc * (1.0 + w) * tn)
+    phip = src / (1.0 - 6.0 * H2k2 * (fg + fur))
+    tg = 3.0 * phip
+
+    k2psi = k ** 2 * psi
+    ddc = -tc + 3.0 * phip
+    dtc = -Hc * tc + k2psi
+    ddb = -tb + 3.0 * phip
+    R = (4.0 / 3.0) * fg / fb
+    dtb = -Hc * tb + cb2 * k ** 2 * db + k2psi + kp * R * (tg - tb)
+    ddn = -(1.0 + w) * (tn - 3.0 * phip) - 3.0 * Hc * (cg2 - w) * dn
+    dtn = -Hc * (1.0 - 3.0 * cg2) * tn + (cg2 / (1.0 + w)) * k ** 2 * dn + k2psi - k ** 2 * sn
+    dsn = -3.0 * Hc * sn + (16.0 / 15.0) * (cg2 / (1.0 + w)) * tn
+    return jnp.stack([phip, ddc, dtc, ddb, dtb, ddn, dtn, dsn])
+
+
+def _rk4_scan(deriv, y0, eta_grid, harvest_eta, tabs, k, am, project=None):
+    """Fixed-step RK4 over per-k grids (eta_grid: (nk, N+1)), harvesting
+    linear blends of the state at each harvest_eta ((n_z,) traced scalars).
+    Returns final state and (n_z, n_state, nk) harvested states."""
+    n_z = harvest_eta.shape[0]
+    out0 = jnp.zeros((n_z,) + y0.shape)
+
+    def step(carry, xs):
+        y, out = carry
+        e0, e1 = xs
+        d = e1 - e0
+        em = 0.5 * (e0 + e1)
+        c0, cm, c1 = _fetch(tabs, e0), _fetch(tabs, em), _fetch(tabs, e1)
+        k1 = deriv(y, k, e0, c0, am)
+        k2 = deriv(y + 0.5 * d * k1, k, em, cm, am)
+        k3 = deriv(y + 0.5 * d * k2, k, em, cm, am)
+        k4 = deriv(y + d * k3, k, e1, c1, am)
+        y1 = y + d / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        if project is not None:
+            y1 = project(y, y1, k, d, cm, c1)
+        hit = (e0[None, :] <= harvest_eta[:, None]) & (e1[None, :] > harvest_eta[:, None])
+        w = jnp.clip((harvest_eta[:, None] - e0[None, :]) / jnp.where(d > 0, d, 1.0)[None, :], 0.0, 1.0)
+        grab = y[None] + w[:, None, :] * (y1 - y)[None]
+        out = out + jnp.where(hit[:, None, :], grab, 0.0)
+        return (y1, out), None
+
+    xs = (eta_grid[:, :-1].T, eta_grid[:, 1:].T)
+    (yf, out), _ = jax.lax.scan(step, (y0, out0), xs)
+    return yf, out
+
+
+def integrate_perturbations(params, thermo, k, z_outputs):
+    """Full two-phase integration. ``k`` in 1/Mpc (static shape); returns a
+    dict of synchronous-gauge (CDM-comoving, CAMB-convention) transfer
+    functions, Newtonian potentials, and growth sources at each z, all
+    normalized to comoving curvature R = 1."""
+    tabs = build_tables(params, thermo)
+    am = tabs['am']
+    eta_A, eta_B, eta_ini = build_time_grids(tabs, k)
+    y0 = adiabatic_ics(tabs, k, eta_ini)
+
+    z_outputs = jnp.asarray(z_outputs, dtype=jnp.float64)
+    lna_t = -jnp.log1p(z_outputs)
+    eta_t = jnp.exp(jnp.interp(lna_t, tabs['lna'], tabs['lneta']))
+    # z = 0 maps to eta0 exactly; nudge inside the final half-open step
+    eta_t = jnp.minimum(eta_t, tabs['eta0'] * (1.0 - 1e-10))
+
+    # phase A: full hierarchy; post-step = exact drag map + TCA projection
+    def projectA(y_start, y_end, kk, d, cm, c1):
+        y_end = _drag_etd(y_start, y_end, kk, d, cm, c1)
+        return _tca_project(y_end, kk, c1)
+
+    yA, outA = _rk4_scan(deriv_full, y0, eta_A, eta_t, tabs, k, am, project=projectA)
+
+    # handoff: ncdm hierarchy -> fluid moments at eta_Aend
+    eta_Aend = eta_A[:, -1]
+    cH = _fetch(tabs, eta_Aend)
+    aH = jnp.exp(cH['lna'])
+    dnH, opwtH, opwsH = _ncdm_moments(yA, aH, am)
+    opw = 1.0 + cH['w_nc']
+    yB0 = jnp.stack([yA[_I_PHI], yA[_I_DC], yA[_I_TC], yA[_I_DB], yA[_I_TB],
+                     dnH, k * opwtH / opw, opwsH / opw])
+
+    yBf, outB = _rk4_scan(deriv_rsa, yB0, eta_B, eta_t, tabs, k, am)
+
+    # ---- assemble per-z products, selecting phase A or B per (z, k)
+    n_z = eta_t.shape[0]
+    res = {'k': k, 'z': z_outputs}
+    use_A = eta_t[:, None] < eta_Aend[None, :]      # (n_z, nk)
+
+    for iz in range(n_z):
+        c = _fetch(tabs, jnp.broadcast_to(eta_t[iz], k.shape))
+        a_out = jnp.exp(c['lna'])
+        yAz = outA[iz]
+        yBz = outB[iz]
+        # phase-A species
+        dnA, opwtA, opwsA = _ncdm_moments(yAz, a_out, am)
+        opw = 1.0 + c['w_nc']
+        # phase-B radiation (streaming): delta = -4 psi
+        psiB = yBz[0] - 4.5 * (c['Hc'] ** 2 / k ** 2) * c['fnc'] * opw * yBz[7]
+        sel = use_A[iz]
+
+        phi = jnp.where(sel, yAz[_I_PHI], yBz[0])
+        dc = jnp.where(sel, yAz[_I_DC], yBz[1])
+        tc = jnp.where(sel, yAz[_I_TC], yBz[2])
+        db = jnp.where(sel, yAz[_I_DB], yBz[3])
+        tb = jnp.where(sel, yAz[_I_TB], yBz[4])
+        dg = jnp.where(sel, yAz[_I_DG], -4.0 * psiB)
+        dur = jnp.where(sel, yAz[_I_UR + 0], -4.0 * psiB)
+        dn = jnp.where(sel, dnA, yBz[5])
+        tn = jnp.where(sel, k * opwtA / opw, yBz[6])
+
+        # gauge conversion to CDM-comoving synchronous (CAMB convention)
+        shift = 3.0 * c['Hc'] * tc / k ** 2
+        dc_s = dc + shift
+        db_s = db + shift
+        dg_s = dg + (4.0 / 3.0) * 3.0 * c['Hc'] * tc / k ** 2
+        dur_s = dur + (4.0 / 3.0) * 3.0 * c['Hc'] * tc / k ** 2
+        dn_s = dn + opw * shift
+
+        fm = c['fc'] + c['fb'] + c['fnc']
+        res.setdefault('delta_cdm', []).append(dc_s)
+        res.setdefault('delta_b', []).append(db_s)
+        res.setdefault('delta_g', []).append(dg_s)
+        res.setdefault('delta_ur', []).append(dur_s)
+        res.setdefault('delta_ncdm', []).append(dn_s)
+        res.setdefault('delta_m', []).append((c['fc'] * dc_s + c['fb'] * db_s + c['fnc'] * dn_s) / fm)
+        res.setdefault('delta_cb', []).append((c['fc'] * dc_s + c['fb'] * db_s) / (c['fc'] + c['fb']))
+        res.setdefault('phi', []).append(phi)
+        res.setdefault('theta_b', []).append(tb)
+        res.setdefault('theta_ncdm', []).append(tn)
+
+    for name in list(res.keys()):
+        if isinstance(res[name], list):
+            res[name] = jnp.stack(res[name])
+    return res
+
+
+def linear_pk(params, thermo, k_hMpc, z_outputs):
+    """Linear P(k) [(Mpc/h)^3] at ``k_hMpc`` [h/Mpc] and each z, for both
+    total matter and cdm+baryons, from the native Boltzmann integration."""
+    h = params['h']
+    k = jnp.asarray(k_hMpc) * h  # 1/Mpc
+    tr = integrate_perturbations(params, thermo, k, z_outputs)
+    # primordial curvature spectrum (dimensionless transfers, R = 1)
+    ns, As, kp = params['n_s'], params['A_s'], params['k_pivot']
+    pprim = 2.0 * jnp.pi ** 2 / k ** 3 * As * (k / kp) ** (ns - 1.0)  # Mpc^3
+    out = {'k': k_hMpc, 'z': tr['z']}
+    out['pk_m'] = pprim[None, :] * tr['delta_m'] ** 2 * h ** 3
+    out['pk_cb'] = pprim[None, :] * tr['delta_cb'] ** 2 * h ** 3
+    out['transfers'] = tr
+    return out

