@@ -55,7 +55,7 @@ LMAX_NCDM = 8      # massive neutrinos: Psi_0..Psi_LMAX_NCDM per q-bin
 NQ_NCDM = 5        # Gauss-Laguerre momentum bins
 
 N_STEPS_A = 10240  # full-hierarchy phase
-N_STEPS_B = 4096   # streaming phase
+N_STEPS_B = 6144   # streaming phase (ncdm acoustic band needs ~5k at k = 7/Mpc)
 M_TAB = 8192       # uniform-ln(eta) coefficient tables
 
 ALPHA_PHASE = 0.5  # deta <= ALPHA/k   (~22 samples per acoustic cycle)
@@ -331,6 +331,46 @@ def _ncdm_moments(y, a, am):
     return delta, opw_theta_over_k, opw_sigma
 
 
+def _metric(y, k, eta, c, am):
+    """psi and phi' from the constraints (shared by deriv_full and the
+    post-step RSA projection).
+
+    - The slaved photon shear is EXCLUDED from the metric while tight
+      coupling holds: its psi contribution is physically O(aH^2 eta/kappa')
+      (< 1e-3), but in an explicit scheme it continuously injects velocity
+      isocurvature through the superhorizon phi' cancellation (measured
+      +60% on phi through equality). It stays in the momentum equations,
+      where the Silk-damping physics lives.
+    - Massless neutrinos stream (delta_ur = -4 psi, theta_ur = 3 phi',
+      sigma_ur = 0) once k eta > 45, CLASS's rsa/ufa role: with
+      lmax_ur = 17, keeping the full hierarchy at k eta >> lmax REFLECTS
+      free-streaming power back down the tower and pumps spurious metric
+      driving through the radiation era (+15% * ln k on the CDM transfer,
+      confirmed equation-level by a stiff BDF integration). theta_ur =
+      3 phi' makes phi' implicit; the exact solve is one division.
+    """
+    Hc, kp = c['Hc'], c['kp']
+    fg, fur, fc, fb, fnc = c['fg'], c['fur'], c['fc'], c['fb'], c['fnc']
+    a = jnp.exp(c['lna'])
+    phi, tc, tb, tg = y[_I_PHI], y[_I_TC], y[_I_TB], y[_I_TG]
+    Fur = y[_I_UR:_I_UR + (LMAX_UR + 1)]
+    tca = (kp > TCA_TRIGGER * Hc) & (kp > TCA_TRIGGER * k)
+    ur_rsa = (k * eta) > RSA_KETA
+
+    nc_delta, nc_opw_th_k, nc_opw_sig = _ncdm_moments(y, a, am)
+    H2k2 = Hc ** 2 / k ** 2
+    Fg2_metric = jnp.where(tca, 0.0, y[_I_FG])
+    Fur2_metric = jnp.where(ur_rsa, 0.0, Fur[2])
+    stress = (2.0 / 3.0) * (fg * Fg2_metric + fur * Fur2_metric) + fnc * nc_opw_sig
+    psi = phi - 4.5 * H2k2 * stress
+    tur_full = 0.75 * k * Fur[1]
+    Stheta_other = fc * tc + fb * tb + (4.0 / 3.0) * fg * tg + fnc * k * nc_opw_th_k
+    num = -Hc * psi + 1.5 * H2k2 * (Stheta_other + jnp.where(ur_rsa, 0.0, (4.0 / 3.0) * fur * tur_full))
+    phip = jnp.where(ur_rsa, num / (1.0 - 6.0 * H2k2 * fur), num)
+    tur = jnp.where(ur_rsa, 3.0 * phip, tur_full)
+    return psi, phip, tur, tca, ur_rsa
+
+
 def deriv_full(y, k, eta, c, am):
     """Time derivative of the full phase-A state (MB95 system), with the
     tight-coupling branch applied per-(k) where kappa' > 50 max(k, aH)."""
@@ -344,26 +384,9 @@ def deriv_full(y, k, eta, c, am):
     G = y[_I_GP:_I_GP + (LMAX_POL + 1)]      # G_0..G_LMAX_POL
     Fur = y[_I_UR:_I_UR + (LMAX_UR + 1)]
 
-    tca = (kp > TCA_TRIGGER * Hc) & (kp > TCA_TRIGGER * k)
+    psi, phip, tur, tca, ur_rsa = _metric(y, k, eta, c, am)
     Fg2 = jnp.where(tca, (32.0 / 45.0) * tg / kp, Fg[0])
     sig_g = 0.5 * Fg2
-
-    nc_delta, nc_opw_th_k, nc_opw_sig = _ncdm_moments(y, a, am)
-
-    # metric: psi from anisotropic stress, phi' from the momentum constraint.
-    # The slaved photon shear is EXCLUDED from the metric while tight
-    # coupling holds: its psi contribution is physically O(aH^2 eta/kappa')
-    # (< 1e-3), but in an explicit scheme it continuously injects velocity
-    # isocurvature through the superhorizon phi' cancellation (measured
-    # +60% on phi through equality). It stays in the momentum equations,
-    # where the Silk-damping physics lives.
-    H2k2 = Hc ** 2 / k ** 2
-    Fg2_metric = jnp.where(tca, 0.0, Fg[0])
-    stress = (2.0 / 3.0) * (fg * Fg2_metric + fur * Fur[2]) + fnc * nc_opw_sig
-    psi = phi - 4.5 * H2k2 * stress
-    tur = 0.75 * k * Fur[1]
-    Stheta = fc * tc + fb * tb + (4.0 / 3.0) * (fg * tg + fur * tur) + fnc * k * nc_opw_th_k
-    phip = -Hc * psi + 1.5 * H2k2 * Stheta
 
     k2psi = k ** 2 * psi
 
@@ -435,7 +458,8 @@ def deriv_full(y, k, eta, c, am):
                 ((2.0 * LMAX_UR + 1.0) / (k * eta)) * Fur[LMAX_UR] - Fur[LMAX_UR - 1])
             d = k / (2.0 * l + 1.0) * (l * Fur[l - 1] - (l + 1.0) * Fp)
         dUr.append(d)
-    dUr = jnp.stack(dUr)
+    # frozen under RSA; the post-step projection holds the algebraic values
+    dUr = jnp.where(ur_rsa, 0.0, jnp.stack(dUr))
 
     # massive neutrinos
     q, _, dlnf0 = _ncdm_q()
@@ -491,6 +515,43 @@ def _drag_etd(y0, y1, k, d, cm, c1):
     y1 = y1.at[_I_TB].set(tb_new)
     y1 = y1.at[_I_TG].set(tg_new)
     return y1
+
+
+def _ur_rsa_project(y, k, eta, c, am):
+    """Hold the massless-neutrino moments at their streaming values where
+    k eta > 45 (see _metric): delta_ur = -4 psi, theta_ur = 3 phi',
+    F_l >= 2 = 0."""
+    psi, phip, tur, _, ur_rsa = _metric(y, k, eta, c, am)
+    y = y.at[_I_UR + 0].set(jnp.where(ur_rsa, -4.0 * psi, y[_I_UR + 0]))
+    y = y.at[_I_UR + 1].set(jnp.where(ur_rsa, 4.0 * tur / (3.0 * k), y[_I_UR + 1]))
+    for l in range(2, LMAX_UR + 1):
+        y = y.at[_I_UR + l].set(jnp.where(ur_rsa, 0.0, y[_I_UR + l]))
+    return y
+
+
+def _poisson_project(y, k, eta, c, am):
+    """Pin phi to the algebraic Poisson constraint sub-horizon.
+
+    The momentum-constraint ODE for phi is exact but, integrated over the
+    ~1e3 acoustic cycles a high-k mode spends in the radiation era, small
+    systematic theta-errors pump phi off the energy-constraint surface
+    (measured +7% at k = 2/Mpc by z = 3000 -> +16% transfers). Combining
+    the (00) and (0i) Einstein equations gives the gauge-invariant Poisson
+    form k^2 phi = -(3/2) aH^2 [Delta + 3 (aH/k^2) (rho+p)theta/rho],
+    algebraic in the fluid state - used where k > 25 aH; the ODE value is
+    kept superhorizon (where the algebraic form has its own catastrophic
+    cancellation)."""
+    Hc = c['Hc']
+    fg, fur, fc, fb, fnc = c['fg'], c['fur'], c['fc'], c['fb'], c['fnc']
+    a = jnp.exp(c['lna'])
+    psi, phip, tur, tca, ur_rsa = _metric(y, k, eta, c, am)
+    nc_delta, nc_opw_th_k, _ = _ncdm_moments(y, a, am)
+    dur = jnp.where(ur_rsa, -4.0 * psi, y[_I_UR])
+    Delta = (fg * y[_I_DG] + fur * dur + fc * y[_I_DC] + fb * y[_I_DB] + fnc * nc_delta)
+    Stheta = (fc * y[_I_TC] + fb * y[_I_TB] + (4.0 / 3.0) * (fg * y[_I_TG] + fur * tur)
+              + fnc * k * nc_opw_th_k)
+    phi_p = -1.5 * (Hc / k) ** 2 * (Delta + 3.0 * Hc / k ** 2 * Stheta)
+    return y.at[_I_PHI].set(jnp.where(k > 25.0 * Hc, phi_p, y[_I_PHI]))
 
 
 def _tca_project(y, k, c):
@@ -569,7 +630,7 @@ def _rk4_scan(deriv, y0, eta_grid, harvest_eta, tabs, k, am, project=None):
         k4 = deriv(y + d * k3, k, e1, c1, am)
         y1 = y + d / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
         if project is not None:
-            y1 = project(y, y1, k, d, cm, c1)
+            y1 = project(y, y1, k, d, e1, cm, c1)
         hit = (e0[None, :] <= harvest_eta[:, None]) & (e1[None, :] > harvest_eta[:, None])
         w = jnp.clip((harvest_eta[:, None] - e0[None, :]) / jnp.where(d > 0, d, 1.0)[None, :], 0.0, 1.0)
         grab = y[None] + w[:, None, :] * (y1 - y)[None]
@@ -597,10 +658,13 @@ def integrate_perturbations(params, thermo, k, z_outputs):
     # z = 0 maps to eta0 exactly; nudge inside the final half-open step
     eta_t = jnp.minimum(eta_t, tabs['eta0'] * (1.0 - 1e-10))
 
-    # phase A: full hierarchy; post-step = exact drag map + TCA projection
-    def projectA(y_start, y_end, kk, d, cm, c1):
+    # phase A: full hierarchy; post-step = exact drag map + TCA and
+    # streaming projections
+    def projectA(y_start, y_end, kk, d, e1, cm, c1):
         y_end = _drag_etd(y_start, y_end, kk, d, cm, c1)
-        return _tca_project(y_end, kk, c1)
+        y_end = _tca_project(y_end, kk, c1)
+        y_end = _poisson_project(y_end, kk, e1, c1, am)
+        return _ur_rsa_project(y_end, kk, e1, c1, am)
 
     yA, outA = _rk4_scan(deriv_full, y0, eta_A, eta_t, tabs, k, am, project=projectA)
 
