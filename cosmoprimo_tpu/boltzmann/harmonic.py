@@ -1,0 +1,212 @@
+"""Native CMB angular power spectra by line-of-sight integration.
+
+Projects the perturbation solver's sources (perturbations.compute_los_sources)
+onto the sky following Seljak & Zaldarriaga 1996:
+
+    Delta_T,l(k) = int dtau { [g (Theta0 + psi + Pi/4) + e^-kappa (phi'+psi')] j_l(x)
+                              + g (theta_b / k) j_l'(x) + (3/4) g Pi j_l''(x) }
+    Delta_E,l(k) = sqrt((l+2)!/(l-2)!) int dtau (3/16) g Pi j_l(x) / x^2
+    Delta_P,l(k) = -2 int_0^{chi*} dchi (chi*-chi)/(chi* chi) Psi_Weyl j_l(k chi)
+
+with x = k (tau0 - tau), and C_l^XY = 4pi int dln k P_R(k) Delta_X Delta_Y.
+
+The reference cannot produce any of these numbers natively: its Harmonic
+sections import integrated Cls from external CLASS/CAMB builds
+(cosmoprimo/classy.py:243-301, camb.py:657-713). Validation anchors are the
+CLASS v3.1.1 Cl tables archived by the reference's own test suite
+(tests/fiducial/abacus_cosm000_CLASSv3.1.1.00_cl.dat).
+
+TPU-first structure: no data-dependent shapes anywhere. The tau quadrature
+and k grids are static templates whose VALUES adapt to the cosmology; the
+Bessel tables are cosmology-independent (n_ell, n_x) arrays evaluated by
+uniform-grid cubic-Hermite gathers; the per-multipole projection is a
+`lax.map` whose body is two large (n_k, n_tau) elementwise blocks and a
+matvec - MXU/VPU-friendly with k on the trailing lane axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.spline import cubic_eval, linear_eval, natural_cubic_coeffs
+from . import bessel
+from .perturbations import compute_los_sources
+
+N_REC = 512           # leading tau-harvest nodes spanning z in [1690, 500]
+N_QUAD_LATE = 1152    # geometric tau-quadrature nodes after recombination
+DK_COARSE = 0.0045    # 1/Mpc; resolves the acoustic phase k r_s of the sources
+DK_FINE = 1.1e-4      # 1/Mpc; resolves the Delta_l(k) oscillation (pi/chi*)
+KMIN = 3e-5           # 1/Mpc
+K_LOG_SWITCH = 0.012  # below: 2%-log spacing, above: uniform DK
+
+
+def coarse_k_grid(kmax, n_log=56, dk=DK_COARSE):
+    """Static k grid the Boltzmann hierarchy is integrated on [1/Mpc]."""
+    n_lin = max(2, int(np.ceil((kmax - K_LOG_SWITCH) / dk)) + 1)
+    return np.concatenate([np.geomspace(KMIN, K_LOG_SWITCH, n_log, endpoint=False),
+                           np.linspace(K_LOG_SWITCH, kmax, n_lin)])
+
+
+def fine_k_grid(kmax, dk=DK_FINE, rel_log=0.02):
+    """Static k grid the line-of-sight integral is evaluated on [1/Mpc]."""
+    n_log = max(2, int(np.ceil(np.log(K_LOG_SWITCH / KMIN) / rel_log)))
+    n_lin = max(2, int(np.ceil((kmax - K_LOG_SWITCH) / dk)) + 1)
+    return np.concatenate([np.geomspace(KMIN, K_LOG_SWITCH, n_log, endpoint=False),
+                           np.linspace(K_LOG_SWITCH, kmax, n_lin)])
+
+
+def _trapz_weights(x):
+    dx = jnp.diff(x)
+    return 0.5 * jnp.concatenate([dx[:1], dx[1:] + dx[:-1], dx[-1:]])
+
+
+def _hermite_gather(tab_f, tab_fp, u):
+    """Cubic-Hermite evaluation of a uniform-grid table at fractional index
+    ``u`` (value grid spacing folded into tab_fp by the caller)."""
+    n_x = tab_f.shape[-1]
+    i0 = jnp.clip(u.astype(jnp.int32), 0, n_x - 2)
+    t = (u - i0).astype(tab_f.dtype)
+    f0, f1 = tab_f[i0], tab_f[i0 + 1]
+    d0, d1 = tab_fp[i0], tab_fp[i0 + 1]
+    t2 = t * t
+    t3 = t2 * t
+    return ((2.0 * t3 - 3.0 * t2 + 1.0) * f0 + (t3 - 2.0 * t2 + t) * d0
+            + (-2.0 * t3 + 3.0 * t2) * f1 + (t3 - t2) * d1)
+
+
+def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1.0)):
+    """Line-of-sight projection + C_l quadrature for each sampled multipole.
+
+    ``src``: output of perturbations.compute_los_sources on the COARSE k
+    grid. ``tables``: (x_grid, j, jp) host arrays from bessel.bessel_tables
+    aligned with ``ell_list``. Returns dict of (n_ell,) arrays: raw
+    (dimensionless) C_l for tt, ee, te, pp, tp, ep.
+    """
+    k_c = src['k']
+    kmax = float(k_c[-1])
+    k_f = jnp.asarray(fine_k_grid(kmax))
+    tau_h, eta0 = src['tau'], src['eta0']
+    g, emk = src['g'], src['emk']
+
+    # ---- tau quadrature grid: recombination harvest nodes + geometric tail
+    tau_rec = tau_h[:N_REC]
+    tau_late = jnp.geomspace(tau_h[N_REC], eta0 * (1.0 - 1e-9), N_QUAD_LATE + 1)[1:]
+    tau_q = jnp.concatenate([tau_rec, tau_late])
+
+    # physical (visibility-weighted) sources on the harvest grid, then
+    # linearly resampled in tau (sources are smooth; the j_l oscillation is
+    # carried exactly by the Bessel tables at the quadrature nodes)
+    mono, dopp, pol, isw, weyl = (src['src'][:, i, :] for i in range(5))
+    w_mono, w_dopp, w_pol, w_isw = t_parts  # diagnostic component toggles
+    ST0 = w_mono * g * mono + w_isw * emk * isw
+    ST1 = w_dopp * g * dopp
+    ST2 = w_pol * 0.75 * g * pol
+    chi_star = eta0 - src['tau_star']
+    chi_h = eta0 - tau_h
+    wlens = jnp.where((chi_h > 1e-4 * eta0) & (chi_h < chi_star),
+                      -2.0 * (chi_star - chi_h) / (chi_star * jnp.maximum(chi_h, 1e-12)), 0.0)
+    SP = weyl * wlens
+
+    S = jnp.stack([ST0, ST1, ST2, SP], axis=1)            # (nk_c, 4, n_h)
+    S_q = linear_eval(tau_h, jnp.moveaxis(S, -1, 0), tau_q)  # (n_q, nk_c, 4)
+
+    # ---- cubic spline in k onto the fine grid
+    Sk = jnp.moveaxis(S_q, 1, 0)                           # (nk_c, n_q, 4)
+    M = natural_cubic_coeffs(k_c, Sk)
+    S_f = cubic_eval(k_c, Sk, M, k_f)                      # (nK, n_q, 4)
+
+    if dtype is not None:
+        S_f = S_f.astype(dtype)
+    ST0f, ST1f, ST2f, SPf = (S_f[..., i] for i in range(4))
+
+    x_grid, j_tab, jp_tab = tables
+    dx = float(x_grid[1] - x_grid[0])
+    rdtype = S_f.dtype
+    j_tab = jnp.asarray(j_tab, dtype=rdtype)
+    # fold dx into the derivative table once: Hermite slopes are per-cell
+    jp_tab_scaled = jnp.asarray(jp_tab, dtype=rdtype) * rdtype.type(dx)
+    jp_tab_raw = jnp.asarray(jp_tab, dtype=rdtype)
+
+    chi_q = (eta0 - tau_q).astype(rdtype)
+    x = k_f.astype(rdtype)[:, None] * chi_q[None, :]        # (nK, n_q)
+    u = x / rdtype.type(dx)
+    w_q = _trapz_weights(tau_q).astype(rdtype)
+
+    ells = jnp.asarray(np.asarray(ell_list, dtype=np.float64), dtype=rdtype)
+    prefE = jnp.sqrt((ells + 2.0) * (ells + 1.0) * ells * (ells - 1.0))
+
+    # primordial curvature spectrum and ln-k quadrature weights
+    w_k = _trapz_weights(k_f) / k_f
+    pr = w_k * 4.0 * jnp.pi * src['P_R']
+    xinv2 = (1.0 / jnp.maximum(x, rdtype.type(dx))) ** 2
+
+    def one_ell(i):
+        ell = ells[i]
+        l2 = ell * (ell + 1.0)
+        # j'' at the query from the Bessel ODE needs j and j' at the query:
+        # j from (j, j') Hermite; j' from (j', j'') Hermite with nodal j''
+        # reconstructed from the ODE - all gathers share the same index.
+        jl = _hermite_gather(j_tab[i], jp_tab_scaled[i], u)
+        # nodal j'' table for this ell, from the ODE at the NODES
+        xn = jnp.maximum(x_grid.astype(rdtype), rdtype.type(dx))
+        jpp_nodes = (l2 / xn ** 2 - 1.0) * j_tab[i] - (2.0 / xn) * jp_tab_raw[i]
+        jlp = _hermite_gather(jp_tab_raw[i], jpp_nodes * rdtype.type(dx), u)
+        jlpp = (l2 * xinv2 - 1.0) * jl - 2.0 * jnp.sqrt(xinv2) * jlp
+
+        dT = (ST0f * jl + ST1f * jlp + ST2f * jlpp) @ w_q   # (nK,)
+        # E source is (3/16) g Pi = ST2 / 4 (Zaldarriaga-Seljak 1997)
+        dE = 0.25 * prefE[i] * ((ST2f * jl * xinv2) @ w_q)
+        dP = (SPf * jl) @ w_q
+        return jnp.stack([pr @ (dT * dT), pr @ (dE * dE), pr @ (dT * dE),
+                          pr @ (dP * dP), pr @ (dT * dP), pr @ (dE * dP)])
+
+    out = jax.lax.map(one_ell, jnp.arange(len(ell_list)))
+    return {'tt': out[:, 0], 'ee': out[:, 1], 'te': out[:, 2],
+            'pp': out[:, 3], 'tp': out[:, 4], 'ep': out[:, 5]}
+
+
+def _spline_to_integers(ells, cl, lmax):
+    """Cubic spline of D_l = l(l+1) C_l against ln l onto all integers
+    2..lmax (sign-preserving: D_l is splined directly, not its log)."""
+    ell_i = jnp.arange(2, lmax + 1, dtype=jnp.float64)
+    lnl = jnp.log(jnp.asarray(ells, dtype=jnp.float64))
+    D = jnp.asarray(ells, dtype=jnp.float64) * (jnp.asarray(ells) + 1.0) * cl
+    M = natural_cubic_coeffs(lnl, D)
+    Di = cubic_eval(lnl, D, M, jnp.log(ell_i))
+    return Di / (ell_i * (ell_i + 1.0))
+
+
+def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None):
+    """Unlensed scalar CMB spectra, natively integrated.
+
+    Returns a dict of (lmax+1,) arrays ('tt','ee','bb','te','pp','tp','ep'),
+    raw dimensionless C_l with the l = 0, 1 entries zero (CLASS raw_cl
+    convention; multiply tt by (T_cmb 1e6)^2 for muK^2).
+    """
+    if kmax is None:
+        kmax = max(0.12, 2.4 * lmax / 13000.0)
+    if ells is None:
+        ells = bessel.default_ells(lmax)
+    ells = np.asarray(ells)
+
+    k_c = jnp.asarray(coarse_k_grid(kmax))
+    src = compute_los_sources(params, thermo, k_c)
+    ns, As, kp = params['n_s'], params['A_s'], params['k_pivot']
+    k_f = jnp.asarray(fine_k_grid(kmax))
+    src['P_R'] = As * (k_f / kp) ** (ns - 1.0)
+
+    # Bessel tables sized by a conservative static horizon bound
+    x_max = float(kmax) * 1.05 * 16000.0
+    tables = bessel.bessel_tables(ells, x_max)
+
+    raw = project_sources(src, ells, tables, dtype=dtype)
+
+    out = {}
+    for name in ['tt', 'ee', 'te', 'pp', 'tp', 'ep']:
+        full = _spline_to_integers(ells, raw[name].astype(jnp.float64), lmax)
+        out[name] = jnp.concatenate([jnp.zeros(2), full])
+    out['bb'] = jnp.zeros(lmax + 1)
+    out['ell'] = np.arange(lmax + 1)
+    out['ells_sampled'] = ells
+    out['raw_sampled'] = raw
+    return out

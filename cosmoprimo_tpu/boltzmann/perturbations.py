@@ -611,10 +611,12 @@ def deriv_rsa(yB, k, eta, c, am):
     return jnp.stack([phip, ddc, dtc, ddb, dtb, ddn, dtn, dsn])
 
 
-def _rk4_scan(deriv, y0, eta_grid, harvest_eta, tabs, k, am, project=None):
+def _rk4_scan(deriv, y0, eta_grid, harvest_eta, tabs, k, am, project=None, emit=None):
     """Fixed-step RK4 over per-k grids (eta_grid: (nk, N+1)), harvesting
     linear blends of the state at each harvest_eta ((n_z,) traced scalars).
-    Returns final state and (n_z, n_state, nk) harvested states."""
+    Returns final state and (n_z, n_state, nk) harvested states; with
+    ``emit`` (a callback (y1, e1, c1) -> (n_emit, nk)) also returns the
+    per-step emitted array (N, n_emit, nk) - the line-of-sight source tap."""
     n_z = harvest_eta.shape[0]
     out0 = jnp.zeros((n_z,) + y0.shape)
 
@@ -635,10 +637,13 @@ def _rk4_scan(deriv, y0, eta_grid, harvest_eta, tabs, k, am, project=None):
         w = jnp.clip((harvest_eta[:, None] - e0[None, :]) / jnp.where(d > 0, d, 1.0)[None, :], 0.0, 1.0)
         grab = y[None] + w[:, None, :] * (y1 - y)[None]
         out = out + jnp.where(hit[:, None, :], grab, 0.0)
-        return (y1, out), None
+        ys = emit(y1, e1, c1) if emit is not None else None
+        return (y1, out), ys
 
     xs = (eta_grid[:, :-1].T, eta_grid[:, 1:].T)
-    (yf, out), _ = jax.lax.scan(step, (y0, out0), xs)
+    (yf, out), ys = jax.lax.scan(step, (y0, out0), xs)
+    if emit is not None:
+        return yf, out, ys
     return yf, out
 
 
@@ -730,6 +735,128 @@ def integrate_perturbations(params, thermo, k, z_outputs):
         if isinstance(res[name], list):
             res[name] = jnp.stack(res[name])
     return res
+
+
+def _los_z_nodes(n_rec=512, n_mid=192, n_reio=128, n_late=192):
+    """Static redshift template for the line-of-sight source harvest grid:
+    dense through recombination (z in [1690, 500], where the visibility
+    peaks), logarithmic through the matter era and reionization, uniform in
+    ln(1+z) at late times. The TRACED tau values adapt to the cosmology via
+    tau(ln a); the node count is static so the graph never recompiles."""
+    z_rec = np.linspace(1690.0, 500.0, n_rec, endpoint=False)
+    z_mid = np.geomspace(500.0, 30.0, n_mid, endpoint=False)
+    z_reio = np.geomspace(30.0, 4.0, n_reio, endpoint=False)
+    z_late = np.expm1(np.linspace(np.log1p(4.0), 0.0, n_late))
+    return np.concatenate([z_rec, z_mid, z_reio, z_late])
+
+
+def _los_emitters(tabs, k, am):
+    """Per-step source taps for the CMB line-of-sight integration
+    (Seljak & Zaldarriaga 1996). Five rows per step, all vs k:
+
+    0. mono = Theta_0 + psi + Pi/4       (multiplies g j_l)
+    1. dopp = theta_b / k                (multiplies g j_l')
+    2. pol  = Pi = F_g2 + G_0 + G_2      ((3/4) g Pi multiplies j_l'';
+                                          E source = (3/4) g Pi j_l / x^2)
+    3. isw  = phi' + psi'                (multiplies e^-kappa j_l)
+    4. weyl = (phi + psi) / 2            (lensing-potential source)
+
+    psi' is exact (forward-mode through the metric constraint with the full
+    ODE right-hand side), not a finite difference of the harvested series -
+    the early-ISW term right after recombination oscillates at the acoustic
+    frequency and a grid derivative there would alias."""
+
+    def psiA(y, eta):
+        c = _fetch(tabs, eta)
+        return _metric(y, k, eta, c, am)[0]
+
+    def emitA(y, e1, c1):
+        psi, phip, _, _, _ = _metric(y, k, e1, c1, am)
+        Pi = y[_I_FG] + y[_I_GP + 0] + y[_I_GP + 2]
+        mono = 0.25 * y[_I_DG] + psi + 0.25 * Pi
+        dopp = y[_I_TB] / k
+        ydot = deriv_full(y, k, e1, c1, am)
+        psidot = jax.jvp(psiA, (y, e1), (ydot, jnp.ones_like(e1)))[1]
+        weyl = 0.5 * (y[_I_PHI] + psi)
+        return jnp.stack([mono, dopp, Pi, phip + psidot, weyl])
+
+    def psiB(y, eta):
+        c = _fetch(tabs, eta)
+        return y[0] - 4.5 * (c['Hc'] / k) ** 2 * c['fnc'] * (1.0 + c['w_nc']) * y[7]
+
+    def emitB(y, e1, c1):
+        # radiation streaming: Theta_0 + psi = 0 and Pi = 0 by construction
+        psi = psiB(y, e1)
+        ydot = deriv_rsa(y, k, e1, c1, am)
+        psidot = jax.jvp(psiB, (y, e1), (ydot, jnp.ones_like(e1)))[1]
+        dopp = y[4] / k
+        weyl = 0.5 * (y[0] + psi)
+        zero = jnp.zeros_like(dopp)
+        return jnp.stack([zero, dopp, zero, ydot[0] + psidot, weyl])
+
+    return emitA, emitB
+
+
+def compute_los_sources(params, thermo, k, z_nodes=None):
+    """Line-of-sight CMB sources on a common (adaptive) conformal-time grid.
+
+    Runs the same two-phase integration as :func:`integrate_perturbations`
+    but taps the five LOS source rows (see :func:`_los_emitters`) at every
+    step, then interpolates each k-mode's series from its own step grid onto
+    a shared tau grid built from the static redshift template. The
+    reference has no counterpart: CLASS's perturbation sources
+    (cosmoprimo can only import their integrated Cls via classy).
+
+    Returns a dict with 'tau' (n_tau,), 'src' (nk, 5, n_tau) RAW sources
+    (visibility NOT applied), 'g', 'emk' (= e^-kappa) on the tau grid,
+    'eta0', 'tau_star' (visibility peak epoch, from thermo.z_star), and 'k'.
+    """
+    tabs = build_tables(params, thermo)
+    am = tabs['am']
+    eta_A, eta_B, eta_ini = build_time_grids(tabs, k)
+    y0 = adiabatic_ics(tabs, k, eta_ini)
+    dummy = jnp.full((1,), tabs['eta0'] * 2.0)
+
+    def projectA(y_start, y_end, kk, d, e1, cm, c1):
+        y_end = _drag_etd(y_start, y_end, kk, d, cm, c1)
+        y_end = _tca_project(y_end, kk, c1)
+        y_end = _poisson_project(y_end, kk, e1, c1, am)
+        return _ur_rsa_project(y_end, kk, e1, c1, am)
+
+    emitA, emitB = _los_emitters(tabs, k, am)
+    yA, _, srcA = _rk4_scan(deriv_full, y0, eta_A, dummy, tabs, k, am,
+                            project=projectA, emit=emitA)
+
+    eta_Aend = eta_A[:, -1]
+    cH = _fetch(tabs, eta_Aend)
+    aH = jnp.exp(cH['lna'])
+    dnH, opwtH, opwsH = _ncdm_moments(yA, aH, am)
+    opw = 1.0 + cH['w_nc']
+    yB0 = jnp.stack([yA[_I_PHI], yA[_I_DC], yA[_I_TC], yA[_I_DB], yA[_I_TB],
+                     dnH, k * opwtH / opw, opwsH / opw])
+    _, _, srcB = _rk4_scan(deriv_rsa, yB0, eta_B, dummy, tabs, k, am, emit=emitB)
+
+    if z_nodes is None:
+        z_nodes = _los_z_nodes()
+    lna_n = jnp.asarray(-np.log1p(np.asarray(z_nodes)))
+    tau_h = jnp.exp(jnp.interp(lna_n, tabs['lna'], tabs['lneta']))
+    tau_h = jnp.minimum(tau_h, tabs['eta0'] * (1.0 - 1e-9))
+
+    def onek(xpA, fA, xpB, fB, aend):
+        vA = jax.vmap(lambda f: jnp.interp(tau_h, xpA, f))(fA)
+        vB = jax.vmap(lambda f: jnp.interp(tau_h, xpB, f))(fB)
+        return jnp.where(tau_h[None, :] < aend, vA, vB)
+
+    src = jax.vmap(onek)(eta_A[:, 1:], srcA.transpose(2, 1, 0),
+                         eta_B[:, 1:], srcB.transpose(2, 1, 0), eta_Aend)
+
+    c_h = _fetch(tabs, tau_h)
+    kappa = jnp.interp(c_h['lna'], jnp.asarray(_thermo.LNA_GRID), thermo.tau)
+    emk = jnp.exp(-kappa)
+    g = c_h['kp'] * emk
+    tau_star = jnp.exp(jnp.interp(-jnp.log1p(thermo.z_star), tabs['lna'], tabs['lneta']))
+    return {'tau': tau_h, 'src': src, 'g': g, 'emk': emk,
+            'eta0': tabs['eta0'], 'tau_star': tau_star, 'k': k}
 
 
 def linear_pk(params, thermo, k_hMpc, z_outputs):
