@@ -74,7 +74,8 @@ def _hermite_gather(tab_f, tab_fp, u):
             + (-2.0 * t3 + 3.0 * t2) * f1 + (t3 - t2) * d1)
 
 
-def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1.0)):
+def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1.0),
+                    dk_fine=DK_FINE, n_quad_late=N_QUAD_LATE):
     """Line-of-sight projection + C_l quadrature for each sampled multipole.
 
     ``src``: output of perturbations.compute_los_sources on the COARSE k
@@ -84,13 +85,13 @@ def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1
     """
     k_c = src['k']
     kmax = float(k_c[-1])
-    k_f = jnp.asarray(fine_k_grid(kmax))
+    k_f = jnp.asarray(fine_k_grid(kmax, dk=dk_fine))
     tau_h, eta0 = src['tau'], src['eta0']
     g, emk = src['g'], src['emk']
 
     # ---- tau quadrature grid: recombination harvest nodes + geometric tail
     tau_rec = tau_h[:N_REC]
-    tau_late = jnp.geomspace(tau_h[N_REC], eta0 * (1.0 - 1e-9), N_QUAD_LATE + 1)[1:]
+    tau_late = jnp.geomspace(tau_h[N_REC], eta0 * (1.0 - 1e-9), n_quad_late + 1)[1:]
     tau_q = jnp.concatenate([tau_rec, tau_late])
 
     # physical (visibility-weighted) sources on the harvest grid, then
@@ -137,7 +138,12 @@ def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1
 
     # primordial curvature spectrum and ln-k quadrature weights
     w_k = _trapz_weights(k_f) / k_f
-    pr = w_k * 4.0 * jnp.pi * src['P_R']
+    if 'P_R_params' in src:
+        ns, As, kp = src['P_R_params']
+        P_R = As * (k_f / kp) ** (ns - 1.0)
+    else:
+        P_R = src['P_R']
+    pr = w_k * 4.0 * jnp.pi * P_R
     xinv2 = (1.0 / jnp.maximum(x, rdtype.type(dx))) ** 2
 
     def one_ell(i):
@@ -191,9 +197,7 @@ def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None):
 
     k_c = jnp.asarray(coarse_k_grid(kmax))
     src = compute_los_sources(params, thermo, k_c)
-    ns, As, kp = params['n_s'], params['A_s'], params['k_pivot']
-    k_f = jnp.asarray(fine_k_grid(kmax))
-    src['P_R'] = As * (k_f / kp) ** (ns - 1.0)
+    src['P_R_params'] = (params['n_s'], params['A_s'], params['k_pivot'])
 
     # Bessel tables sized by a conservative static horizon bound
     x_max = float(kmax) * 1.05 * 16000.0

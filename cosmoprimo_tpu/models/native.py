@@ -17,11 +17,12 @@ Thermodynamics (native), Primordial (standard power-law with runnings),
 Transfer and Fourier (native Einstein-Boltzmann integration,
 boltzmann/perturbations.py: linear P(k) within 1-2% of CLASS through
 k = 0.2 h/Mpc and < 5% to k = 10 h/Mpc, validated against the CLASS
-v3.1.1 tables archived by the reference test suite). Limitations
-(documented, raise where relevant): flat cosmologies; one effective
-massive-neutrino species (several degenerate species are combined); no
-dark-energy perturbations (background w0/wa only); no Harmonic section
-(use the emulated engines for Cls).
+v3.1.1 tables archived by the reference test suite), and Harmonic
+(native line-of-sight CMB Cls + correlation-function lensing,
+boltzmann/harmonic.py / lensing.py). Limitations (documented, raise
+where relevant): flat cosmologies; one effective massive-neutrino
+species (several degenerate species are combined); no dark-energy
+perturbations (background w0/wa only).
 """
 
 import numpy as np
@@ -84,6 +85,22 @@ class NativeEngine(BaseEngine):
             out = linear_pk(self._perturbation_params(), th, k, list(z))
             self._pk_tables = (k, jnp.asarray(z), out['pk_m'], out['pk_cb'], out['transfers'])
         return self._pk_tables
+
+    def cl_tables(self, lmax):
+        """Unlensed + lensed CMB spectra up to ``lmax`` (cached). The
+        unlensed input to the lensing convolution extends ``lensing_margin``
+        (extra_params, default 400) multipoles past ``lmax`` so the
+        correlation-function remapping is unbiased at the output edge."""
+        cache = getattr(self, '_cl_cache', None)
+        if cache is None or cache[0] < lmax:
+            from ..boltzmann import harmonic, lensing
+            margin = int(self._extra_params.get('lensing_margin', 400))
+            th = self.get_section('thermodynamics')._th
+            unl = harmonic.compute_cls(self._perturbation_params(), th, lmax=lmax + margin)
+            lens = lensing.lensed_cls(unl['tt'], unl['ee'], unl['bb'], unl['te'],
+                                      unl['pp'], lmax=lmax)
+            self._cl_cache = (lmax, unl, lens)
+        return self._cl_cache[1], self._cl_cache[2]
 
     def tree_flatten(self):
         children, aux = super().tree_flatten()
@@ -190,6 +207,62 @@ class Transfer(BaseSection):
                      'delta_m', 'delta_cb', 'phi']:
             out['d_' + name[6:] if name.startswith('delta_') else name] = -tr[name][iz] / kMpc ** 2
         return out
+
+
+@register_section
+class Harmonic(BaseSection):
+    """Natively integrated CMB angular power spectra.
+
+    Surface parity with the class/camb Harmonic sections (models/classy.py:372,
+    reference classy.py:243-301): ``unlensed_cl`` / ``lensed_cl`` /
+    ``lens_potential_cl`` returning raw dimensionless C_l tables, negative
+    ``ellmax`` resolved against the ``ellmax_cl`` cosmology parameter,
+    sigma8-rescaling applied multiplicatively. The spectra themselves come
+    from the native line-of-sight projection (boltzmann/harmonic.py) and the
+    correlation-function lensing convolution (boltzmann/lensing.py) - numbers
+    the reference can only import from an external CLASS/CAMB build.
+
+    Accuracy vs the archived CLASS v3.1.1 spectra (DESI fiducial, l <= 600):
+    EE/TE within ~2-3% of the local spectrum envelope; TT within ~3% at the
+    acoustic peaks with a known positive excess up to ~12% in the troughs
+    (under investigation); lensing potential within ~7% for l <~ 300.
+    """
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self._engine = engine
+        self._rsigma8 = engine._rescale_sigma8()
+        self.ellmax_cl = engine['ellmax_cl']
+
+    def _resolve_ellmax(self, ellmax):
+        if ellmax < 0:
+            ellmax = self.ellmax_cl + 1 + ellmax
+        return ellmax
+
+    def _cl_dict(self, table, names, lmax):
+        from ..emulators.emulated import cl_table
+        scale = jnp.asarray(self._rsigma8) ** 2
+        out = {name: jnp.asarray(table[name])[:lmax + 1] * scale for name in names}
+        out['ell'] = np.arange(lmax + 1)
+        return cl_table(out)
+
+    def unlensed_cl(self, ellmax=-1):
+        r"""Unlensed scalar :math:`C_\ell` ['tt', 'ee', 'bb', 'te'], unitless."""
+        lmax = self._resolve_ellmax(ellmax)
+        unl, _ = self._engine.cl_tables(lmax)
+        return self._cl_dict(unl, ('tt', 'ee', 'bb', 'te'), lmax)
+
+    def lensed_cl(self, ellmax=-1):
+        r"""Lensed :math:`C_\ell` ['tt', 'ee', 'bb', 'te'], unitless."""
+        lmax = self._resolve_ellmax(ellmax)
+        _, lens = self._engine.cl_tables(lmax)
+        return self._cl_dict(lens, ('tt', 'ee', 'bb', 'te'), lmax)
+
+    def lens_potential_cl(self, ellmax=-1):
+        r"""Lensing-potential :math:`C_\ell` ['pp', 'tp', 'ep'], unitless."""
+        lmax = self._resolve_ellmax(ellmax)
+        unl, _ = self._engine.cl_tables(lmax)
+        return self._cl_dict(unl, ('pp', 'tp', 'ep'), lmax)
 
 
 @register_section
