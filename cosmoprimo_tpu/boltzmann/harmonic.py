@@ -139,8 +139,11 @@ def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1
     # primordial curvature spectrum and ln-k quadrature weights
     w_k = _trapz_weights(k_f) / k_f
     if 'P_R_params' in src:
-        ns, As, kp = src['P_R_params']
-        P_R = As * (k_f / kp) ** (ns - 1.0)
+        ns, As, kp, *run = src['P_R_params']
+        alpha_s, beta_s = run if run else (0.0, 0.0)
+        lnkkp = jnp.log(k_f / kp)
+        P_R = As * (k_f / kp) ** (ns - 1.0 + 0.5 * alpha_s * lnkkp
+                                  + beta_s / 6.0 * lnkkp ** 2)
     else:
         P_R = src['P_R']
     pr = w_k * 4.0 * jnp.pi * P_R
@@ -197,7 +200,8 @@ def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None):
 
     k_c = jnp.asarray(coarse_k_grid(kmax))
     src = compute_los_sources(params, thermo, k_c)
-    src['P_R_params'] = (params['n_s'], params['A_s'], params['k_pivot'])
+    src['P_R_params'] = (params['n_s'], params['A_s'], params['k_pivot'],
+                         params.get('alpha_s', 0.0), params.get('beta_s', 0.0))
 
     # Bessel tables sized by a conservative static horizon bound
     x_max = float(kmax) * 1.05 * 16000.0

@@ -865,9 +865,14 @@ def linear_pk(params, thermo, k_hMpc, z_outputs):
     h = params['h']
     k = jnp.asarray(k_hMpc) * h  # 1/Mpc
     tr = integrate_perturbations(params, thermo, k, z_outputs)
-    # primordial curvature spectrum (dimensionless transfers, R = 1)
+    # primordial curvature spectrum (dimensionless transfers, R = 1),
+    # with the alpha_s/beta_s runnings (Planck conventions, as
+    # models/eisenstein_hu.py Primordial)
     ns, As, kp = params['n_s'], params['A_s'], params['k_pivot']
-    pprim = 2.0 * jnp.pi ** 2 / k ** 3 * As * (k / kp) ** (ns - 1.0)  # Mpc^3
+    lnkkp = jnp.log(k / kp)
+    neff = (ns - 1.0 + 0.5 * params.get('alpha_s', 0.0) * lnkkp
+            + params.get('beta_s', 0.0) / 6.0 * lnkkp ** 2)
+    pprim = 2.0 * jnp.pi ** 2 / k ** 3 * As * (k / kp) ** neff  # Mpc^3
     out = {'k': k_hMpc, 'z': tr['z']}
     out['pk_m'] = pprim[None, :] * tr['delta_m'] ** 2 * h ** 3
     out['pk_cb'] = pprim[None, :] * tr['delta_cb'] ** 2 * h ** 3

@@ -57,7 +57,8 @@ class NativeEngine(BaseEngine):
         """Plain parameter dict for boltzmann.perturbations (one ncdm
         species; several degenerate species are combined by total mass)."""
         p = {n: self[n] for n in ['omega_b', 'omega_cdm', 'h', 'T_cmb', 'N_ur',
-                                  'w0_fld', 'wa_fld', 'n_s', 'k_pivot']}
+                                  'w0_fld', 'wa_fld', 'n_s', 'k_pivot',
+                                  'alpha_s', 'beta_s']}
         p['A_s'] = self._A_s
         m = np.atleast_1d(np.asarray(self['m_ncdm']))
         if m.size == 0 or float(m.sum()) == 0.0:
@@ -86,21 +87,38 @@ class NativeEngine(BaseEngine):
             self._pk_tables = (k, jnp.asarray(z), out['pk_m'], out['pk_cb'], out['transfers'])
         return self._pk_tables
 
-    def cl_tables(self, lmax):
-        """Unlensed + lensed CMB spectra up to ``lmax`` (cached). The
-        unlensed input to the lensing convolution extends ``lensing_margin``
-        (extra_params, default 400) multipoles past ``lmax`` so the
-        correlation-function remapping is unbiased at the output edge."""
-        cache = getattr(self, '_cl_cache', None)
-        if cache is None or cache[0] < lmax:
-            from ..boltzmann import harmonic, lensing
-            margin = int(self._extra_params.get('lensing_margin', 400))
+    def unl_tables(self, lmax):
+        """Unlensed CMB spectra computed to ``lmax + lensing_margin``
+        (extra_params, default 400) and cached, so a later lensed_cl call
+        at the same ``lmax`` reuses them (the margin keeps the
+        correlation-function remapping unbiased at the output edge)."""
+        margin = int(self._extra_params.get('lensing_margin', 400))
+        cache = getattr(self, '_unl_cache', None)
+        if cache is None or cache[0] < lmax + margin:
+            from ..boltzmann import harmonic
             th = self.get_section('thermodynamics')._th
             unl = harmonic.compute_cls(self._perturbation_params(), th, lmax=lmax + margin)
+            cache = (lmax + margin, unl)
+            self._unl_cache = cache
+        return cache[1]
+
+    def lensed_tables(self, lmax):
+        """Lensed CMB spectra up to ``lmax`` (cached); computed lazily from
+        :meth:`unl_tables` only when a lensed spectrum is requested, so
+        unlensed-only workflows never pay for the lensing convolution."""
+        cache = getattr(self, '_lens_cache', None)
+        if cache is None or cache[0] < lmax:
+            from ..boltzmann import lensing
+            unl = self.unl_tables(lmax)
             lens = lensing.lensed_cls(unl['tt'], unl['ee'], unl['bb'], unl['te'],
                                       unl['pp'], lmax=lmax)
-            self._cl_cache = (lmax, unl, lens)
-        return self._cl_cache[1], self._cl_cache[2]
+            self._lens_cache = (lmax, lens)
+        return self._lens_cache[1]
+
+    def cl_tables(self, lmax):
+        """(unlensed, lensed) spectra up to ``lmax`` — see unl_tables /
+        lensed_tables (kept for compatibility; forces both)."""
+        return self.unl_tables(lmax), self.lensed_tables(lmax)
 
     def tree_flatten(self):
         children, aux = super().tree_flatten()
@@ -233,6 +251,13 @@ class Harmonic(BaseSection):
         self._engine = engine
         self._rsigma8 = engine._rescale_sigma8()
         self.ellmax_cl = engine['ellmax_cl']
+        if not engine._extra_params.get('harmonic_no_warn', False):
+            import warnings
+            warnings.warn(
+                "engine='native' CMB spectra: accuracy vs CLASS is certified by "
+                "tests/test_harmonic.py for the documented ell window only (see the "
+                "Harmonic docstring); pass extra_params={'harmonic_no_warn': True} "
+                "to silence.", stacklevel=3)
 
     def _resolve_ellmax(self, ellmax):
         if ellmax < 0:
@@ -249,19 +274,19 @@ class Harmonic(BaseSection):
     def unlensed_cl(self, ellmax=-1):
         r"""Unlensed scalar :math:`C_\ell` ['tt', 'ee', 'bb', 'te'], unitless."""
         lmax = self._resolve_ellmax(ellmax)
-        unl, _ = self._engine.cl_tables(lmax)
+        unl = self._engine.unl_tables(lmax)
         return self._cl_dict(unl, ('tt', 'ee', 'bb', 'te'), lmax)
 
     def lensed_cl(self, ellmax=-1):
         r"""Lensed :math:`C_\ell` ['tt', 'ee', 'bb', 'te'], unitless."""
         lmax = self._resolve_ellmax(ellmax)
-        _, lens = self._engine.cl_tables(lmax)
+        lens = self._engine.lensed_tables(lmax)
         return self._cl_dict(lens, ('tt', 'ee', 'bb', 'te'), lmax)
 
     def lens_potential_cl(self, ellmax=-1):
         r"""Lensing-potential :math:`C_\ell` ['pp', 'tp', 'ep'], unitless."""
         lmax = self._resolve_ellmax(ellmax)
-        unl, _ = self._engine.cl_tables(lmax)
+        unl = self._engine.unl_tables(lmax)
         return self._cl_dict(unl, ('pp', 'tp', 'ep'), lmax)
 
 
