@@ -5,7 +5,11 @@ onto the sky following Seljak & Zaldarriaga 1996:
 
     Delta_T,l(k) = int dtau { [g (Theta0 + psi + Pi/4) + e^-kappa (phi'+psi')] j_l(x)
                               + g (theta_b / k) j_l'(x) + (3/4) g Pi j_l''(x) }
-    Delta_E,l(k) = sqrt((l+2)!/(l-2)!) int dtau (3/16) g Pi j_l(x) / x^2
+    Delta_E,l(k) = sqrt((l+2)!/(l-2)!) int dtau (3/4) g Pi j_l(x) / x^2
+
+with Pi = Theta_2 + G_0/4 + G_2/4 in TEMPERATURE units (the solver's
+hierarchy stores MB95 brightness moments F_gl = 4 Theta_l, so the pol
+source row carries (F_g2 + G_0 + G_2)/4),
     Delta_P,l(k) = -2 int_0^{chi*} dchi (chi*-chi)/(chi* chi) Psi_Weyl j_l(k chi)
 
 with x = k (tau0 - tau), and C_l^XY = 4pi int dln k P_R(k) Delta_X Delta_Y.
@@ -163,8 +167,9 @@ def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1
         jlpp = (l2 * xinv2 - 1.0) * jl - 2.0 * jnp.sqrt(xinv2) * jlp
 
         dT = (ST0f * jl + ST1f * jlp + ST2f * jlpp) @ w_q   # (nK,)
-        # E source is (3/16) g Pi = ST2 / 4 (Zaldarriaga-Seljak 1997)
-        dE = 0.25 * prefE[i] * ((ST2f * jl * xinv2) @ w_q)
+        # E source is (3/4) g Pi = ST2, with Pi in temperature units
+        # (Zaldarriaga-Seljak 1997; the pol row is (F_g2+G_0+G_2)/4)
+        dE = prefE[i] * ((ST2f * jl * xinv2) @ w_q)
         dP = (SPf * jl) @ w_q
         return jnp.stack([pr @ (dT * dT), pr @ (dE * dE), pr @ (dT * dE),
                           pr @ (dP * dP), pr @ (dT * dP), pr @ (dE * dP)])

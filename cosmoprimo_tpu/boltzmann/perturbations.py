@@ -755,8 +755,13 @@ def _los_emitters(tabs, k, am):
     (Seljak & Zaldarriaga 1996). Five rows per step, all vs k:
 
     0. mono = Theta_0 + psi + Pi/4       (multiplies g j_l)
+
+    with Pi in TEMPERATURE units: Pi = Theta_2 + G_0/4 + G_2/4
+    = (F_g2 + G_0 + G_2)/4 (the hierarchy stores MB95 brightness moments,
+    so Theta_l = F_gl/4). The E-mode source is (3/4) g Pi j_l/x^2
+    (Zaldarriaga & Seljak 1997 with their Delta_P = G/4 normalization).
     1. dopp = theta_b / k                (multiplies g j_l')
-    2. pol  = Pi = F_g2 + G_0 + G_2      ((3/4) g Pi multiplies j_l'';
+    2. pol  = Pi = (F_g2 + G_0 + G_2)/4  ((3/4) g Pi multiplies j_l'';
                                           E source = (3/4) g Pi j_l / x^2)
     3. isw  = phi' + psi'                (multiplies e^-kappa j_l)
     4. weyl = (phi + psi) / 2            (lensing-potential source)
@@ -772,7 +777,10 @@ def _los_emitters(tabs, k, am):
 
     def emitA(y, e1, c1):
         psi, phip, _, _, _ = _metric(y, k, e1, c1, am)
-        Pi = y[_I_FG] + y[_I_GP + 0] + y[_I_GP + 2]
+        # Pi in temperature units: the hierarchy stores MB95 brightness
+        # moments (Theta_l = F_gl/4), and the TT/EE sources need
+        # Pi = Theta_2 + G_0/4 + G_2/4 = (F_g2 + G_0 + G_2)/4.
+        Pi = 0.25 * (y[_I_FG] + y[_I_GP + 0] + y[_I_GP + 2])
         mono = 0.25 * y[_I_DG] + psi + 0.25 * Pi
         dopp = y[_I_TB] / k
         ydot = deriv_full(y, k, e1, c1, am)

@@ -182,8 +182,9 @@ def run_oracle(params, thermo, k, eta_eval, lmax_g=40, lmax_pol=40, lmax_ur=40,
     fluid variables at each eta in ``eta_eval`` (must be sorted).
 
     Sources match perturbations._los_emitters: mono = Theta0 + psi + Pi/4,
-    dopp = theta_b / k, pol = Pi, isw = phi' + psi' (by finite difference of
-    the dense output on a fine local grid), weyl = (phi + psi)/2.
+    dopp = theta_b / k, pol = Pi = (F_g2 + G_0 + G_2)/4 (temperature
+    units), isw = phi' + psi' (by finite difference of the dense output on
+    a fine local grid), weyl = (phi + psi)/2.
     """
     from cosmoprimo_tpu.boltzmann import perturbations as P
 
@@ -219,7 +220,8 @@ def run_oracle(params, thermo, k, eta_eval, lmax_g=40, lmax_pol=40, lmax_ur=40,
         H2k2 = c['Hc'] ** 2 / k ** 2
         stress = (2.0 / 3.0) * (c['fg'] * Fg[2] + c['fur'] * Fur[2]) + c['fnc'] * nc_sig
         psi = y[0] - 4.5 * H2k2 * stress
-        PI = Fg[2] + G[0] + G[2]
+        # Pi in temperature units (Theta_l = F_gl/4), as _los_emitters
+        PI = 0.25 * (Fg[2] + G[0] + G[2])
         return dict(phi=y[0], psi=psi, dc=y[1], tc=y[2], db=y[3], tb=y[4],
                     dg=Fg[0], tg=0.75 * k * Fg[1], PI=PI,
                     mono=0.25 * Fg[0] + psi + 0.25 * PI, dopp=y[4] / k,
