@@ -154,6 +154,22 @@ def _build_batched_checksum(nk, non_linear, warm_args, with_slices=False):
     return checksum, engine
 
 
+def _build_native_checksum(nk, warm_args):
+    """Jitted checksum over the batched native Boltzmann pipeline
+    (RECFAST + MB95 hierarchy + linear P(k) per cosmology, vmapped)."""
+    from cosmoprimo_tpu.pipelines import make_native_pk_pipeline_batched
+
+    fn, _ = make_native_pk_pipeline_batched(nk=nk)
+
+    @jax.jit
+    def checksum(*args):
+        pkz, s8 = fn(*args)
+        return jnp.sum(pkz) + jnp.sum(s8)
+
+    float(checksum(*warm_args))  # compile + warm
+    return checksum
+
+
 def _build_pallas_kernel(nbatch):
     """Jitted TophatVariance checksums for the pair-FFT and Pallas engines
     over the same (nbatch, 1024) input, compiled and warmed."""
@@ -236,6 +252,8 @@ def main():
     n_nl = int(os.environ.get('BENCH_N_NL', '16384'))
     n_hm = int(os.environ.get('BENCH_N_HM', '256'))
     n_pallas = int(os.environ.get('BENCH_N_PALLAS', '4096'))
+    n_native = int(os.environ.get('BENCH_N_NATIVE', '8'))
+    nk_native = int(os.environ.get('BENCH_NK_NATIVE', '256'))
     nrep = int(os.environ.get('BENCH_NREP', '3'))
 
     unavailable = _probe_backend()
@@ -247,6 +265,7 @@ def main():
                 (f'non-linear (halofit) pk->xi pipeline, f64, batch {n_nl}', 'cosmologies/s'),
                 (f'HMcode-2020 halo-model pk->xi pipeline, f64, batch {n_hm}', 'cosmologies/s'),
                 (f'fused Pallas FFTLog kernel, df32, batch {n_pallas} x 4096', 'transforms/s'),
+                (f'native Boltzmann linear P(k), nk={nk_native}, batch {n_native}', 'cosmologies/s'),
         ):
             _skip_line(label, base, unit, unavailable, backend='unavailable')
         return
@@ -254,6 +273,7 @@ def main():
     head_args = [make_args(n, seed=i) for i in range(nrep + 1)]
     hf_args = [make_args(n_nl, seed=10 + i) for i in range(nrep + 1)]
     hm_args = [make_args(n_hm, seed=20 + i) for i in range(nrep + 1)]
+    nat_args = [make_args(n_native, seed=30 + i) for i in range(nrep + 1)]
 
     # ---- concurrent compilation: the relay compiles server-side, so four
     # compiles overlap; threads are daemons so a hung one cannot block exit
@@ -276,6 +296,7 @@ def main():
         'hmcode': lambda: _build_batched_checksum(nk=384, non_linear='mead',
                                                   warm_args=hm_args[0]),
         'pallas': lambda: _build_pallas_kernel(n_pallas),
+        'native': lambda: _build_native_checksum(nk=nk_native, warm_args=nat_args[0]),
     }
     threads = {}
     for name, builder in builders.items():
@@ -367,6 +388,31 @@ def main():
             'backend': jax.default_backend(),
         }), flush=True)
         _log(f'{name}: emitted')
+
+    # ---- native Boltzmann solver: the capability metric (the reference
+    # can only obtain a Boltzmann P(k) from an external single-cosmology
+    # CPU C build; there is nothing in-image to race, so vs_baseline is
+    # against a pinned nominal 1.5 s/cosmology CLASS-like solve)
+    label = f'native Boltzmann linear P(k), nk={nk_native}, batch {n_native}'
+    base_label = 'nominal CLASS-like C Boltzmann solve, 1.5 s/cosmology on 1 CPU core (pinned; no external build runnable in-image)'
+    threads['native'].join(timeout=max(0.0, _budget_left() - 20.0))
+    status = built.get('native')
+    if status is None or status[0] != 'ok':
+        reason = (f'compile did not finish in budget ({_budget_left():.0f}s left)'
+                  if status is None else f'{type(status[1]).__name__}: {status[1]}'[:200])
+        _skip_line(label, base_label, 'cosmologies/s', reason)
+    else:
+        checksum = status[1]
+        best = _time_best(checksum, [nat_args[i] for i in range(1, nrep + 1)])
+        print(json.dumps({
+            'metric': label,
+            'value': round(n_native / best, 3),
+            'unit': 'cosmologies/s',
+            'vs_baseline': round(n_native / best / (1.0 / 1.5), 2),
+            'baseline': base_label,
+            'backend': jax.default_backend(),
+        }), flush=True)
+        _log('native: emitted')
 
     # ---- standalone fused Pallas FFTLog kernel vs the XLA pair-FFT engine
     label = f'fused Pallas FFTLog kernel, df32, batch {n_pallas} x 4096'

@@ -29,15 +29,17 @@ _CACHE_DIR = os.environ.get(
 DX = 0.125  # uniform x-grid spacing (cubic-Hermite rel. error ~ dx^4/384)
 
 
-def default_ells(lmax, dense_until=48, step_frac=0.085):
+def default_ells(lmax, dense_until=48, step_frac=0.085, step_max=72):
     """Multipole sample: every integer l <= ``dense_until`` (resolves the
     reionization bump and the low-l ISW slope), then geometric ~8.5% steps
-    to lmax (the acoustic peaks are smooth in ln l at this density; the
-    integer-l spectrum is reconstructed by a cubic spline of D_l vs ln l)."""
+    CAPPED at ``step_max`` (the acoustic oscillation keeps a fixed period
+    ~300 in l, so an uncapped geometric grid undersamples it beyond
+    l ~ step_max/step_frac and the D_l-vs-ln-l cubic spline rings at the
+    few-percent level; 72 keeps >4 samples per period everywhere)."""
     ells = list(range(2, min(dense_until, lmax) + 1))
     ell = float(dense_until)
     while ell < lmax:
-        ell = ell + max(4.0, ell * step_frac)
+        ell = ell + min(max(4.0, ell * step_frac), float(step_max))
         ells.append(int(min(round(ell), lmax)))
     return np.unique(np.asarray(ells, dtype=np.int32))
 

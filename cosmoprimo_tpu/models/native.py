@@ -50,7 +50,14 @@ class NativeEngine(BaseEngine):
     def __init__(self, cosmo, **extra_params):
         super().__init__(cosmo, **extra_params)
         self._A_s = self._get_A_s_fid()
-        if abs(float(self['Omega_k'])) > 1e-10:
+        import jax
+        try:
+            curved = abs(float(self['Omega_k'])) > 1e-10
+        except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+            # Omega_k is a tracer (engine built inside jit/vmap): the
+            # flatness contract is enforced on concrete inputs only.
+            curved = False
+        if curved:
             raise CosmologyInputError('The native Boltzmann engine supports flat cosmologies only.')
 
     def _perturbation_params(self):
@@ -60,14 +67,21 @@ class NativeEngine(BaseEngine):
                                   'w0_fld', 'wa_fld', 'n_s', 'k_pivot',
                                   'alpha_s', 'beta_s']}
         p['A_s'] = self._A_s
-        m = np.atleast_1d(np.asarray(self['m_ncdm']))
-        if m.size == 0 or float(m.sum()) == 0.0:
+        import jax
+        m = jnp.atleast_1d(jnp.asarray(self['m_ncdm']))
+        massless = m.size == 0
+        if not massless:
+            try:
+                massless = float(jnp.sum(m)) == 0.0
+            except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+                massless = False  # traced masses: keep the ncdm sector
+        if massless:
             p['m_ncdm'] = 0.0
             p['T_ncdm_over_cmb'] = 0.71611
             p['omega_ncdm'] = 0.0
         else:
-            p['m_ncdm'] = self['m_ncdm'][0] if m.size == 1 else jnp.sum(jnp.asarray(self['m_ncdm']))
-            p['T_ncdm_over_cmb'] = np.atleast_1d(np.asarray(self['T_ncdm_over_cmb']))[0]
+            p['m_ncdm'] = m[0] if m.size == 1 else jnp.sum(m)
+            p['T_ncdm_over_cmb'] = jnp.atleast_1d(jnp.asarray(self['T_ncdm_over_cmb']))[0]
             p['omega_ncdm'] = jnp.sum(jnp.atleast_1d(jnp.asarray(self['omega_ncdm'])))
         return p
 
@@ -97,7 +111,13 @@ class NativeEngine(BaseEngine):
         if cache is None or cache[0] < lmax + margin:
             from ..boltzmann import harmonic
             th = self.get_section('thermodynamics')._th
-            unl = harmonic.compute_cls(self._perturbation_params(), th, lmax=lmax + margin)
+            # kmax_cl (extra_params) widens the k support beyond the TT/EE
+            # heuristic (2.4 lmax / 13000): the lensing-potential kernel
+            # peaks at chi ~ 3400 Mpc, so pp at multipole l draws on
+            # k ~ l / 3400 — well above l / chi_star (see test_harmonic).
+            kmax = self._extra_params.get('kmax_cl', None)
+            unl = harmonic.compute_cls(self._perturbation_params(), th,
+                                       lmax=lmax + margin, kmax=kmax)
             cache = (lmax + margin, unl)
             self._unl_cache = cache
         return cache[1]
@@ -240,10 +260,17 @@ class Harmonic(BaseSection):
     correlation-function lensing convolution (boltzmann/lensing.py) - numbers
     the reference can only import from an external CLASS/CAMB build.
 
-    Accuracy vs the archived CLASS v3.1.1 spectra (DESI fiducial, l <= 600):
-    EE/TE within ~2-3% of the local spectrum envelope; TT within ~3% at the
-    acoustic peaks with a known positive excess up to ~12% in the troughs
-    (under investigation); lensing potential within ~7% for l <~ 300.
+    Accuracy vs the archived CLASS v3.1.1 spectra (DESI fiducial),
+    CI-enforced by tests/test_harmonic.py and measured across the full
+    default window l <= 2500: TT within 1.2% for 100 <= l <= 2000 (about
+    3% through the low-l ISW/reionization range and -3.8% at l = 2500);
+    EE within 1.5% for l >= 150 (up to ~10% through the reionization bump
+    at l ~ 5-50, where RECFAST-vs-HyRec recombination detail dominates);
+    TE within ~2% of the local envelope away from zero crossings; lensing
+    potential within ~12% to l = 2000 (limited by the high-k transfer
+    fidelity); lensed spectra add <0.3% convolution error on top of the
+    unlensed inputs (the standalone convolution reproduces CLASS lensed
+    from CLASS unlensed to that level).
     """
 
     def __init__(self, engine):
@@ -251,13 +278,6 @@ class Harmonic(BaseSection):
         self._engine = engine
         self._rsigma8 = engine._rescale_sigma8()
         self.ellmax_cl = engine['ellmax_cl']
-        if not engine._extra_params.get('harmonic_no_warn', False):
-            import warnings
-            warnings.warn(
-                "engine='native' CMB spectra: accuracy vs CLASS is certified by "
-                "tests/test_harmonic.py for the documented ell window only (see the "
-                "Harmonic docstring); pass extra_params={'harmonic_no_warn': True} "
-                "to silence.", stacklevel=3)
 
     def _resolve_ellmax(self, ellmax):
         if ellmax < 0:

@@ -149,3 +149,42 @@ def make_pk_to_xi_pipeline_batched(nk=1024, kmin=1e-5, kmax=1e2, engine='eisenst
         return xi, chi, sigma8
 
     return fn, np.asarray(k), np.asarray(p2c.y[0])
+
+
+def make_native_pk_pipeline_batched(nk=256, kmax=1.0, z=(0.0, 1.0)):
+    """Batched END-TO-END native Boltzmann pipeline: ``fn(omega_cdm[B],
+    omega_b[B], h[B], n_s[B], logA[B])`` runs, per cosmology under vmap,
+    the full native chain — RECFAST recombination (lax.scan), the MB95
+    Einstein-Boltzmann hierarchy on ``nk`` k-modes (rk4-on-scan with
+    lanes on k), and the primordial assembly — returning (pk_m(z, k)
+    [(Mpc/h)^3], sigma8).
+
+    This is the capability the reference obtains only from an external
+    CLASS/CAMB C build, run per-cosmology on CPU
+    (/root/reference/cosmoprimo/classy.py); here it is one jitted XLA
+    program that vmaps/shards over the cosmology batch.
+    """
+    from .boltzmann.perturbations import linear_pk
+    from .interpolator import kernel_tophat2
+    from .ops import simpson
+
+    k_np = np.geomspace(1e-4, kmax, nk)
+    k = jnp.asarray(k_np)
+    z = list(np.atleast_1d(np.asarray(z, dtype=np.float64)))
+    _w8 = jnp.asarray(k_np ** 3 * np.asarray(kernel_tophat2(jnp.asarray(8.0 * k_np))))
+    _lnk = jnp.asarray(np.log(k_np))
+    _iz0 = int(np.argmin(np.abs(np.asarray(z))))
+
+    def single(omega_cdm, omega_b, h, n_s, logA):
+        cosmo = Cosmology(omega_cdm=omega_cdm, omega_b=omega_b, h=h, n_s=n_s,
+                          logA=logA, engine='native')
+        th = cosmo.get_thermodynamics().table
+        out = linear_pk(cosmo.engine._perturbation_params(), th, k, z)
+        pkz = out['pk_m']                                  # (nz, nk)
+        sigma8 = jnp.sqrt(simpson(pkz[_iz0] * _w8, x=_lnk) / (2.0 * jnp.pi ** 2))
+        return pkz, sigma8
+
+    def fn(omega_cdm, omega_b, h, n_s, logA):
+        return jax.vmap(single)(omega_cdm, omega_b, h, n_s, logA)
+
+    return fn, np.asarray(k)
