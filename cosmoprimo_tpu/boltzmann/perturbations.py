@@ -63,6 +63,7 @@ BETA_LN = 0.004    # deta <= BETA eta
 KAPPA_SAFE = 0.45  # deta <= KAPPA_SAFE * 2.8 / kappa' in the release band
 TCA_TRIGGER = 50.0  # tight coupling while kappa' > TRIGGER * max(k, aH)
 RSA_KETA = 45.0    # streaming once k eta > 45 and eta > eta(z~900)
+POISSON_KAH = 2.5  # pin phi to the Poisson constraint where k > POISSON_KAH * aH
 
 _C_KMS = constants.c / 1e3
 
@@ -535,12 +536,22 @@ def _poisson_project(y, k, eta, c, am):
     The momentum-constraint ODE for phi is exact but, integrated over the
     ~1e3 acoustic cycles a high-k mode spends in the radiation era, small
     systematic theta-errors pump phi off the energy-constraint surface
-    (measured +7% at k = 2/Mpc by z = 3000 -> +16% transfers). Combining
-    the (00) and (0i) Einstein equations gives the gauge-invariant Poisson
-    form k^2 phi = -(3/2) aH^2 [Delta + 3 (aH/k^2) (rho+p)theta/rho],
-    algebraic in the fluid state - used where k > 25 aH; the ODE value is
-    kept superhorizon (where the algebraic form has its own catastrophic
-    cancellation)."""
+    (unpinned: +2.8% on delta_cdm at k = 0.5 h/Mpc, +27% at k = 5, z = 0,
+    vs the archived CLASS tables). Combining the (00) and (0i) Einstein
+    equations gives the gauge-invariant Poisson form
+    k^2 phi = -(3/2) aH^2 [Delta + 3 (aH/k^2) (rho+p)theta/rho],
+    algebraic in the fluid state - used where k > POISSON_KAH aH; the ODE
+    value is kept superhorizon (where the algebraic form has its own
+    catastrophic cancellation).
+
+    POISSON_KAH = 2.5 engages the pin right at horizon entry: the pump
+    accrues from entry onward (pin-threshold sweep, scripts/
+    dev_pk_toggles*.py / dev_pin_opt.py: 25 -> +1.7% delta_cdm at
+    k = 0.5 h/Mpc, 6 -> +0.6%, 2.5 -> <= 0.2% at every k in 0.001-5 and
+    z in {0, 1, 49}; hierarchy truncations, step densities, TCA trigger
+    and the ETD drag map were each swept and move the excess by < 0.1%).
+    Below ~2 the superhorizon cancellation of the algebraic form starts
+    to bite (-0.8% at k = 1 h/Mpc by 1.5)."""
     Hc = c['Hc']
     fg, fur, fc, fb, fnc = c['fg'], c['fur'], c['fc'], c['fb'], c['fnc']
     a = jnp.exp(c['lna'])
@@ -551,7 +562,7 @@ def _poisson_project(y, k, eta, c, am):
     Stheta = (fc * y[_I_TC] + fb * y[_I_TB] + (4.0 / 3.0) * (fg * y[_I_TG] + fur * tur)
               + fnc * k * nc_opw_th_k)
     phi_p = -1.5 * (Hc / k) ** 2 * (Delta + 3.0 * Hc / k ** 2 * Stheta)
-    return y.at[_I_PHI].set(jnp.where(k > 25.0 * Hc, phi_p, y[_I_PHI]))
+    return y.at[_I_PHI].set(jnp.where(k > POISSON_KAH * Hc, phi_p, y[_I_PHI]))
 
 
 def _tca_project(y, k, c):

@@ -8,8 +8,9 @@ convention -T_i/k^2 with k in 1/Mpc; P in (Mpc/h)^3).
 
 The reference itself CANNOT produce any of these numbers without an
 external CLASS/CAMB build; this is the capability test of the native
-solver: sub-percent on delta_cdm/delta_b and P(k) through the BAO range
-(k <= 0.2 h/Mpc), few-percent to k = 0.5 h/Mpc.
+solver: 0.5% on delta_cdm/delta_b and 0.8% on P(k) across the FULL grid
+(k = 1e-3 to 0.5 h/Mpc; measured errors are <= 0.35% to k = 5 h/Mpc,
+scripts/dev_pin_opt.py).
 """
 
 import jax
@@ -72,9 +73,9 @@ def test_transfer_functions_vs_class(pk_run):
     for name, z_idx, truth in [('cdm', 0, T_CDM_Z0), ('b', 0, T_B_Z0),
                                ('cdm', 2, T_CDM_Z49), ('b', 2, T_B_Z49)]:
         ours = -tr['delta_' + name][z_idx] / kMpc ** 2
-        np.testing.assert_allclose(ours[BAO], truth[BAO], rtol=1e-2,
+        np.testing.assert_allclose(ours[BAO], truth[BAO], rtol=5e-3,
                                    err_msg=f'{name} z-index {z_idx} BAO band')
-        np.testing.assert_allclose(ours[HIK], truth[HIK], rtol=6e-2,
+        np.testing.assert_allclose(ours[HIK], truth[HIK], rtol=5e-3,
                                    err_msg=f'{name} z-index {z_idx} high-k band')
 
 
@@ -82,9 +83,9 @@ def test_transfer_functions_vs_class(pk_run):
 def test_linear_pk_vs_class(pk_run):
     out, _, _ = pk_run
     for z_idx, pk_truth in [(0, PK_M_Z0), (1, PK_M_Z1)]:
-        np.testing.assert_allclose(out['pk_m'][z_idx][BAO], pk_truth[BAO], rtol=2e-2)
-        np.testing.assert_allclose(out['pk_m'][z_idx][HIK], pk_truth[HIK], rtol=1.2e-1)
-    np.testing.assert_allclose(out['pk_cb'][0][BAO], PK_CB_Z0[BAO], rtol=2e-2)
+        np.testing.assert_allclose(out['pk_m'][z_idx][BAO], pk_truth[BAO], rtol=8e-3)
+        np.testing.assert_allclose(out['pk_m'][z_idx][HIK], pk_truth[HIK], rtol=8e-3)
+    np.testing.assert_allclose(out['pk_cb'][0][BAO], PK_CB_Z0[BAO], rtol=8e-3)
 
 
 @pytest.mark.slow
@@ -100,18 +101,18 @@ def test_growth_between_snapshots(pk_run):
 @pytest.mark.slow
 def test_native_engine_fourier():
     """engine='native' serves the full Fourier surface from the native
-    solver: sigma8 within ~0.6% of the CLASS values the reference test
+    solver: sigma8 within 0.5% of the CLASS values the reference test
     suite pins (tests/test_fiducial.py:111-112), P(k, z) tables feeding
     the standard 2D interpolator."""
     cosmo = DESI(engine='native', extra_params={'nk_pk': 128})
     fo = cosmo.get_fourier()
-    assert abs(float(fo.sigma8_m) / 0.807952 - 1.0) < 1e-2
-    assert abs(float(fo.sigma8_cb) / 0.811355 - 1.0) < 1e-2
+    assert abs(float(fo.sigma8_m) / 0.807952 - 1.0) < 5e-3
+    assert abs(float(fo.sigma8_cb) / 0.811355 - 1.0) < 5e-3
     pk = fo.pk_interpolator()
     got = np.asarray(pk(K_H[BAO], 0.0))
-    np.testing.assert_allclose(got, PK_M_Z0[BAO], rtol=2.5e-2)
+    np.testing.assert_allclose(got, PK_M_Z0[BAO], rtol=1.2e-2)
     got1 = np.asarray(pk(K_H[BAO], 1.0))
-    np.testing.assert_allclose(got1, PK_M_Z1[BAO], rtol=2.5e-2)
+    np.testing.assert_allclose(got1, PK_M_Z1[BAO], rtol=1.2e-2)
     # transfer table surface
     tr = cosmo.get_transfer().table(z=0.0)
     assert float(tr['z']) == 0.0 and np.all(np.isfinite(np.asarray(tr['d_m'])))
