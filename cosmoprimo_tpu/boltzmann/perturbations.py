@@ -72,8 +72,18 @@ _I_PHI, _I_DC, _I_TC, _I_DB, _I_TB, _I_DG, _I_TG = 0, 1, 2, 3, 4, 5, 6
 _I_FG = 7                      # F_gamma_2 .. F_gamma_LMAX_G   (LMAX_G-1)
 _I_GP = _I_FG + (LMAX_G - 1)   # G_0 .. G_LMAX_POL             (LMAX_POL+1)
 _I_UR = _I_GP + (LMAX_POL + 1)  # F_ur_0 .. F_ur_LMAX_UR       (LMAX_UR+1)
-_I_NC = _I_UR + (LMAX_UR + 1)  # Psi_{q,l}: NQ * (LMAX_NCDM+1)
-N_STATE = _I_NC + NQ_NCDM * (LMAX_NCDM + 1)
+_I_NC = _I_UR + (LMAX_UR + 1)  # Psi_{s,q,l}: NS * NQ * (LMAX_NCDM+1)
+
+
+def _n_state(ns):
+    """State length for ``ns`` massive-neutrino species (each species
+    carries its own NQ_NCDM x (LMAX_NCDM+1) momentum hierarchy; the number
+    of species is a static shape, so each distinct ns compiles its own
+    graph)."""
+    return _I_NC + ns * NQ_NCDM * (LMAX_NCDM + 1)
+
+
+N_STATE = _n_state(1)  # single-species layout (the common case)
 
 
 def _ncdm_q():
@@ -98,8 +108,9 @@ def _ncdm_q():
 def build_tables(params, thermo):
     """Uniform-ln(eta) coefficient tables for the integration.
 
-    ``params``: dict with omega_b, omega_cdm, h, T_cmb, N_ur, m_ncdm (one
-    species; 0 for none), T_ncdm_over_cmb, w0_fld, wa_fld.
+    ``params``: dict with omega_b, omega_cdm, h, T_cmb, N_ur, m_ncdm (a
+    scalar or an array of per-species masses in eV, all at the same
+    temperature; 0 for none), T_ncdm_over_cmb, w0_fld, wa_fld.
     ``thermo``: ThermodynamicsResult (kappa', T_m on its ln a grid).
     """
     h = params['h']
@@ -114,15 +125,20 @@ def build_tables(params, thermo):
     lna = jnp.asarray(np.linspace(np.log(1e-9), 0.0, 2 * M_TAB + 1))
     a = jnp.exp(lna)
 
-    # ncdm energy/pressure on the SAME 5-point GL grid as the evolution
+    # ncdm energy/pressure on the SAME 5-point GL grid as the evolution.
+    # Several species (equal temperature, possibly distinct masses) sum
+    # their phase-space integrals: with a common T the per-species density
+    # normalization is one global constant, so I_rho/I_rho0 aggregates
+    # exactly across the mass spectrum.
     q, w_fd, _ = _ncdm_q()
     T_ncdm_eV = (params['T_ncdm_over_cmb'] * T_cmb) * 8.617333262e-5  # K -> eV
-    am = params['m_ncdm'] / T_ncdm_eV                                 # a m / T0
-    eps = jnp.sqrt(q[None, :] ** 2 + (a[:, None] * am) ** 2)          # (n, NQ)
-    I_rho = jnp.sum(w_fd * q ** 2 * eps, axis=-1)                     # (n,)
-    I_p = jnp.sum(w_fd * q ** 4 / eps, axis=-1) / 3.0
+    am = jnp.atleast_1d(jnp.asarray(params['m_ncdm'])) / T_ncdm_eV    # (NS,) a m / T0
+    eps = jnp.sqrt(q[None, None, :] ** 2
+                   + (a[:, None, None] * am[None, :, None]) ** 2)     # (n, NS, NQ)
+    I_rho = jnp.sum(w_fd * q ** 2 * eps, axis=(-2, -1))               # (n,)
+    I_p = jnp.sum(w_fd * q ** 4 / eps, axis=(-2, -1)) / 3.0
     I_rho0 = I_rho[-1]
-    has_ncdm = params['m_ncdm'] > 0
+    has_ncdm = jnp.sum(am) > 0
     omega_nc0 = params.get('omega_ncdm', 0.0)
 
     # omega_i(a) = Omega_i(a) h^2 a^4-scaled; all relative to rho_crit0
@@ -292,7 +308,8 @@ def adiabatic_ics(tabs, k, eta_ini):
     # seeds the same growing contamination.
     sig_nu = (k * eta_rd_ic) ** 2 / 15.0 * psi
 
-    y = jnp.zeros((N_STATE, k.shape[0]))
+    ns = tabs['am'].shape[0]
+    y = jnp.zeros((_n_state(ns), k.shape[0]))
     y = y.at[_I_PHI].set(phi)
     y = y.at[_I_DC].set(0.75 * dg)
     y = y.at[_I_TC].set(th)
@@ -308,27 +325,32 @@ def adiabatic_ics(tabs, k, eta_ini):
     #       Psi_2 = -(sigma/2) dlnf0
     q, _, dlnf0 = _ncdm_q()
     a_ini = jnp.exp(jnp.interp(jnp.log(eta_ini), tabs['lneta'], tabs['lna']))
-    eps = jnp.sqrt(q[:, None] ** 2 + (a_ini[None, :] * tabs['am']) ** 2)  # (NQ, nk)
-    for j in range(NQ_NCDM):
-        base = _I_NC + j * (LMAX_NCDM + 1)
-        y = y.at[base + 0].set(-0.25 * dg * dlnf0[j])
-        y = y.at[base + 1].set(-(eps[j] / (3.0 * q[j] * k)) * th * dlnf0[j])
-        y = y.at[base + 2].set(-0.5 * sig_nu * dlnf0[j])
+    for s in range(ns):
+        eps = jnp.sqrt(q[:, None] ** 2 + (a_ini[None, :] * tabs['am'][s]) ** 2)  # (NQ, nk)
+        for j in range(NQ_NCDM):
+            base = _I_NC + (s * NQ_NCDM + j) * (LMAX_NCDM + 1)
+            y = y.at[base + 0].set(-0.25 * dg * dlnf0[j])
+            y = y.at[base + 1].set(-(eps[j] / (3.0 * q[j] * k)) * th * dlnf0[j])
+            y = y.at[base + 2].set(-0.5 * sig_nu * dlnf0[j])
     return y
 
 
 def _ncdm_moments(y, a, am):
-    """delta, (1+w)theta/k, (1+w)sigma of the massive species from the
-    momentum hierarchy (ratios of GL integrals; MB95 eq 55)."""
+    """delta, (1+w)theta/k, (1+w)sigma of the combined massive sector from
+    the momentum hierarchies (ratios of GL integrals; MB95 eq 55). With a
+    common temperature the species aggregate exactly: every integral is
+    summed over the mass spectrum before taking the ratio."""
     q, w_fd, _ = _ncdm_q()
-    eps = jnp.sqrt(q[:, None] ** 2 + (a[None, :] * am) ** 2)  # (NQ, nk)
-    psi = y[_I_NC:_I_NC + NQ_NCDM * (LMAX_NCDM + 1)]
-    psi = psi.reshape(NQ_NCDM, LMAX_NCDM + 1, -1)
-    I_rho = jnp.sum(w_fd[:, None] * q[:, None] ** 2 * eps, axis=0)
-    delta = jnp.sum(w_fd[:, None] * q[:, None] ** 2 * eps * psi[:, 0], axis=0) / I_rho
+    ns = am.shape[0]
+    eps = jnp.sqrt(q[None, :, None] ** 2 + (a[None, None, :] * am[:, None, None]) ** 2)  # (NS, NQ, nk)
+    psi = y[_I_NC:_I_NC + ns * NQ_NCDM * (LMAX_NCDM + 1)]
+    psi = psi.reshape(ns, NQ_NCDM, LMAX_NCDM + 1, -1)
+    w2 = w_fd[None, :, None] * q[None, :, None] ** 2
+    I_rho = jnp.sum(w2 * eps, axis=(0, 1))
+    delta = jnp.sum(w2 * eps * psi[:, :, 0], axis=(0, 1)) / I_rho
     # (rho+p) theta / rho = k * int q^3 f0 Psi_1 / int q^2 eps f0
-    opw_theta_over_k = jnp.sum(w_fd[:, None] * q[:, None] ** 3 * psi[:, 1], axis=0) / I_rho
-    opw_sigma = (2.0 / 3.0) * jnp.sum(w_fd[:, None] * q[:, None] ** 4 / eps * psi[:, 2], axis=0) / I_rho
+    opw_theta_over_k = jnp.sum(w2 * q[None, :, None] * psi[:, :, 1], axis=(0, 1)) / I_rho
+    opw_sigma = (2.0 / 3.0) * jnp.sum(w2 * q[None, :, None] ** 2 / eps * psi[:, :, 2], axis=(0, 1)) / I_rho
     return delta, opw_theta_over_k, opw_sigma
 
 
@@ -462,24 +484,26 @@ def deriv_full(y, k, eta, c, am):
     # frozen under RSA; the post-step projection holds the algebraic values
     dUr = jnp.where(ur_rsa, 0.0, jnp.stack(dUr))
 
-    # massive neutrinos
+    # massive neutrinos (one momentum hierarchy per species)
     q, _, dlnf0 = _ncdm_q()
-    eps = jnp.sqrt(q[:, None] ** 2 + (a[None, :] * am) ** 2)
-    psi_nc = y[_I_NC:].reshape(NQ_NCDM, LMAX_NCDM + 1, -1)
+    ns = am.shape[0]
+    psi_nc = y[_I_NC:].reshape(ns, NQ_NCDM, LMAX_NCDM + 1, -1)
     dNc = []
-    for j in range(NQ_NCDM):
-        qe = q[j] * k / eps[j]
-        for l in range(0, LMAX_NCDM + 1):
-            if l == 0:
-                d = -qe * psi_nc[j, 1] - phip * dlnf0[j]
-            elif l == 1:
-                d = qe / 3.0 * (psi_nc[j, 0] - 2.0 * psi_nc[j, 2]) - (eps[j] * k / (3.0 * q[j])) * psi * dlnf0[j]
-            else:
-                Pp = psi_nc[j, l + 1] if l < LMAX_NCDM else (
-                    ((2.0 * LMAX_NCDM + 1.0) * eps[j] / (q[j] * k * eta)) * psi_nc[j, LMAX_NCDM]
-                    - psi_nc[j, LMAX_NCDM - 1])
-                d = qe / (2.0 * l + 1.0) * (l * psi_nc[j, l - 1] - (l + 1.0) * Pp)
-            dNc.append(d)
+    for s in range(ns):
+        eps = jnp.sqrt(q[:, None] ** 2 + (a[None, :] * am[s]) ** 2)
+        for j in range(NQ_NCDM):
+            qe = q[j] * k / eps[j]
+            for l in range(0, LMAX_NCDM + 1):
+                if l == 0:
+                    d = -qe * psi_nc[s, j, 1] - phip * dlnf0[j]
+                elif l == 1:
+                    d = qe / 3.0 * (psi_nc[s, j, 0] - 2.0 * psi_nc[s, j, 2]) - (eps[j] * k / (3.0 * q[j])) * psi * dlnf0[j]
+                else:
+                    Pp = psi_nc[s, j, l + 1] if l < LMAX_NCDM else (
+                        ((2.0 * LMAX_NCDM + 1.0) * eps[j] / (q[j] * k * eta)) * psi_nc[s, j, LMAX_NCDM]
+                        - psi_nc[s, j, LMAX_NCDM - 1])
+                    d = qe / (2.0 * l + 1.0) * (l * psi_nc[s, j, l - 1] - (l + 1.0) * Pp)
+                dNc.append(d)
     dNc = jnp.stack(dNc)
 
     return jnp.concatenate([jnp.stack([phip, ddc, dtc, ddb, dtb, ddg, dtg]),
@@ -658,6 +682,32 @@ def _rk4_scan(deriv, y0, eta_grid, harvest_eta, tabs, k, am, project=None, emit=
     return yf, out
 
 
+def _phase_a_projector(tabs, am):
+    """The phase-A post-step projection pipeline (exact Thomson-drag map,
+    TCA slaving, Poisson phi-pinning, neutrino streaming), shared by every
+    two-phase integration entry point."""
+
+    def projectA(y_start, y_end, kk, d, e1, cm, c1):
+        y_end = _drag_etd(y_start, y_end, kk, d, cm, c1)
+        y_end = _tca_project(y_end, kk, c1)
+        y_end = _poisson_project(y_end, kk, e1, c1, am)
+        return _ur_rsa_project(y_end, kk, e1, c1, am)
+
+    return projectA
+
+
+def _ncdm_handoff(yA, eta_Aend, tabs, k, am):
+    """Map the end-of-phase-A state onto the reduced streaming-phase state
+    (phi, dc, tc, db, tb, dn, tn, sn): the massive-neutrino hierarchy is
+    collapsed to its fluid moments."""
+    cH = _fetch(tabs, eta_Aend)
+    aH = jnp.exp(cH['lna'])
+    dnH, opwtH, opwsH = _ncdm_moments(yA, aH, am)
+    opw = 1.0 + cH['w_nc']
+    return jnp.stack([yA[_I_PHI], yA[_I_DC], yA[_I_TC], yA[_I_DB], yA[_I_TB],
+                      dnH, k * opwtH / opw, opwsH / opw])
+
+
 def integrate_perturbations(params, thermo, k, z_outputs):
     """Full two-phase integration. ``k`` in 1/Mpc (static shape); returns a
     dict of synchronous-gauge (CDM-comoving, CAMB-convention) transfer
@@ -676,22 +726,12 @@ def integrate_perturbations(params, thermo, k, z_outputs):
 
     # phase A: full hierarchy; post-step = exact drag map + TCA and
     # streaming projections
-    def projectA(y_start, y_end, kk, d, e1, cm, c1):
-        y_end = _drag_etd(y_start, y_end, kk, d, cm, c1)
-        y_end = _tca_project(y_end, kk, c1)
-        y_end = _poisson_project(y_end, kk, e1, c1, am)
-        return _ur_rsa_project(y_end, kk, e1, c1, am)
-
-    yA, outA = _rk4_scan(deriv_full, y0, eta_A, eta_t, tabs, k, am, project=projectA)
+    yA, outA = _rk4_scan(deriv_full, y0, eta_A, eta_t, tabs, k, am,
+                         project=_phase_a_projector(tabs, am))
 
     # handoff: ncdm hierarchy -> fluid moments at eta_Aend
     eta_Aend = eta_A[:, -1]
-    cH = _fetch(tabs, eta_Aend)
-    aH = jnp.exp(cH['lna'])
-    dnH, opwtH, opwsH = _ncdm_moments(yA, aH, am)
-    opw = 1.0 + cH['w_nc']
-    yB0 = jnp.stack([yA[_I_PHI], yA[_I_DC], yA[_I_TC], yA[_I_DB], yA[_I_TB],
-                     dnH, k * opwtH / opw, opwsH / opw])
+    yB0 = _ncdm_handoff(yA, eta_Aend, tabs, k, am)
 
     yBf, outB = _rk4_scan(deriv_rsa, yB0, eta_B, eta_t, tabs, k, am)
 
@@ -836,23 +876,12 @@ def compute_los_sources(params, thermo, k, z_nodes=None):
     y0 = adiabatic_ics(tabs, k, eta_ini)
     dummy = jnp.full((1,), tabs['eta0'] * 2.0)
 
-    def projectA(y_start, y_end, kk, d, e1, cm, c1):
-        y_end = _drag_etd(y_start, y_end, kk, d, cm, c1)
-        y_end = _tca_project(y_end, kk, c1)
-        y_end = _poisson_project(y_end, kk, e1, c1, am)
-        return _ur_rsa_project(y_end, kk, e1, c1, am)
-
     emitA, emitB = _los_emitters(tabs, k, am)
     yA, _, srcA = _rk4_scan(deriv_full, y0, eta_A, dummy, tabs, k, am,
-                            project=projectA, emit=emitA)
+                            project=_phase_a_projector(tabs, am), emit=emitA)
 
     eta_Aend = eta_A[:, -1]
-    cH = _fetch(tabs, eta_Aend)
-    aH = jnp.exp(cH['lna'])
-    dnH, opwtH, opwsH = _ncdm_moments(yA, aH, am)
-    opw = 1.0 + cH['w_nc']
-    yB0 = jnp.stack([yA[_I_PHI], yA[_I_DC], yA[_I_TC], yA[_I_DB], yA[_I_TB],
-                     dnH, k * opwtH / opw, opwsH / opw])
+    yB0 = _ncdm_handoff(yA, eta_Aend, tabs, k, am)
     _, _, srcB = _rk4_scan(deriv_rsa, yB0, eta_B, dummy, tabs, k, am, emit=emitB)
 
     if z_nodes is None:
@@ -876,6 +905,71 @@ def compute_los_sources(params, thermo, k, z_nodes=None):
     tau_star = jnp.exp(jnp.interp(-jnp.log1p(thermo.z_star), tabs['lna'], tabs['lneta']))
     return {'tau': tau_h, 'src': src, 'g': g, 'emk': emk,
             'eta0': tabs['eta0'], 'tau_star': tau_star, 'k': k}
+
+
+PERTURBATION_NAMES = ('delta_g', 'theta_g', 'shear_g', 'delta_b', 'theta_b',
+                      'delta_cdm', 'theta_cdm', 'delta_ur', 'theta_ur',
+                      'delta_ncdm', 'theta_ncdm', 'phi', 'psi')
+
+
+def compute_perturbation_series(params, thermo, k, z_nodes=None):
+    """Newtonian-gauge perturbation time-series for each requested k mode,
+    interpolated from the per-k adaptive step grids onto a shared
+    conformal-time grid - the per-k source table the reference only
+    obtains from CLASS's ``get_perturbations``
+    (/root/reference/cosmoprimo/classy.py:231-234,415).
+
+    Returns a dict with 'tau' (n_tau,), 'a' (n_tau,), 'k' (nk,), and
+    'series' (nk, len(PERTURBATION_NAMES), n_tau) ordered as
+    :data:`PERTURBATION_NAMES` (MB95 conventions, comoving curvature
+    R = 1; streaming-phase radiation entries are the RSA algebraic values).
+    """
+    tabs = build_tables(params, thermo)
+    am = tabs['am']
+    eta_A, eta_B, eta_ini = build_time_grids(tabs, k)
+    y0 = adiabatic_ics(tabs, k, eta_ini)
+    dummy = jnp.full((1,), tabs['eta0'] * 2.0)
+
+    def emitA(y, e1, c1):
+        psi, phip, tur, _, _ = _metric(y, k, e1, c1, am)
+        a1 = jnp.exp(c1['lna'])
+        dn, opw_th_k, _ = _ncdm_moments(y, a1, am)
+        opw = 1.0 + c1['w_nc']
+        return jnp.stack([y[_I_DG], y[_I_TG], 0.5 * y[_I_FG],
+                          y[_I_DB], y[_I_TB], y[_I_DC], y[_I_TC],
+                          y[_I_UR + 0], tur, dn, k * opw_th_k / opw,
+                          y[_I_PHI], psi])
+
+    def emitB(y, e1, c1):
+        psi = y[0] - 4.5 * (c1['Hc'] / k) ** 2 * c1['fnc'] * (1.0 + c1['w_nc']) * y[7]
+        ydot = deriv_rsa(y, k, e1, c1, am)
+        tg = 3.0 * ydot[0]
+        zero = jnp.zeros_like(psi)
+        return jnp.stack([-4.0 * psi, tg, zero, y[3], y[4], y[1], y[2],
+                          -4.0 * psi, tg, y[5], y[6], y[0], psi])
+
+    yA, _, srcA = _rk4_scan(deriv_full, y0, eta_A, dummy, tabs, k, am,
+                            project=_phase_a_projector(tabs, am), emit=emitA)
+    eta_Aend = eta_A[:, -1]
+    yB0 = _ncdm_handoff(yA, eta_Aend, tabs, k, am)
+    _, _, srcB = _rk4_scan(deriv_rsa, yB0, eta_B, dummy, tabs, k, am, emit=emitB)
+
+    if z_nodes is None:
+        z_nodes = _los_z_nodes()
+    lna_n = jnp.asarray(-np.log1p(np.asarray(z_nodes)))
+    tau_h = jnp.exp(jnp.interp(lna_n, tabs['lna'], tabs['lneta']))
+    tau_h = jnp.minimum(tau_h, tabs['eta0'] * (1.0 - 1e-9))
+
+    def onek(xpA, fA, xpB, fB, aend):
+        vA = jax.vmap(lambda f: jnp.interp(tau_h, xpA, f))(fA)
+        vB = jax.vmap(lambda f: jnp.interp(tau_h, xpB, f))(fB)
+        return jnp.where(tau_h[None, :] < aend, vA, vB)
+
+    series = jax.vmap(onek)(eta_A[:, 1:], srcA.transpose(2, 1, 0),
+                            eta_B[:, 1:], srcB.transpose(2, 1, 0), eta_Aend)
+    a_h = jnp.exp(jnp.interp(jnp.log(tau_h), tabs['lneta'], tabs['lna']))
+    return {'tau': tau_h, 'a': a_h, 'k': k, 'series': series,
+            'names': PERTURBATION_NAMES}
 
 
 def linear_pk(params, thermo, k_hMpc, z_outputs):

@@ -17,11 +17,14 @@ Thermodynamics (native), Primordial (standard power-law with runnings),
 Transfer and Fourier (native Einstein-Boltzmann integration,
 boltzmann/perturbations.py: linear P(k) within 1-2% of CLASS through
 k = 0.2 h/Mpc and < 5% to k = 10 h/Mpc, validated against the CLASS
-v3.1.1 tables archived by the reference test suite), and Harmonic
+v3.1.1 tables archived by the reference test suite), Harmonic
 (native line-of-sight CMB Cls + correlation-function lensing,
-boltzmann/harmonic.py / lensing.py). Limitations (documented, raise
-where relevant): flat cosmologies; one effective massive-neutrino
-species (several degenerate species are combined); no dark-energy
+boltzmann/harmonic.py / lensing.py), and Perturbations (per-k
+Newtonian-gauge source time-series, the classy get_perturbations
+surface) - the full seven-section surface. The massive-neutrino sector
+carries one exact momentum hierarchy per species (normal/inverted/
+degenerate splits are solved per-mass, not combined). Limitations
+(documented, raise where relevant): flat cosmologies; no dark-energy
 perturbations (background w0/wa only).
 """
 
@@ -61,8 +64,10 @@ class NativeEngine(BaseEngine):
             raise CosmologyInputError('The native Boltzmann engine supports flat cosmologies only.')
 
     def _perturbation_params(self):
-        """Plain parameter dict for boltzmann.perturbations (one ncdm
-        species; several degenerate species are combined by total mass)."""
+        """Plain parameter dict for boltzmann.perturbations. The full
+        per-species neutrino mass spectrum is passed through (each species
+        carries its own momentum hierarchy in the solver); all species
+        share the standard T_ncdm."""
         p = {n: self[n] for n in ['omega_b', 'omega_cdm', 'h', 'T_cmb', 'N_ur',
                                   'w0_fld', 'wa_fld', 'n_s', 'k_pivot',
                                   'alpha_s', 'beta_s']}
@@ -80,7 +85,7 @@ class NativeEngine(BaseEngine):
             p['T_ncdm_over_cmb'] = 0.71611
             p['omega_ncdm'] = 0.0
         else:
-            p['m_ncdm'] = m[0] if m.size == 1 else jnp.sum(m)
+            p['m_ncdm'] = m
             p['T_ncdm_over_cmb'] = jnp.atleast_1d(jnp.asarray(self['T_ncdm_over_cmb']))[0]
             p['omega_ncdm'] = jnp.sum(jnp.atleast_1d(jnp.asarray(self['omega_ncdm'])))
         return p
@@ -245,6 +250,56 @@ class Transfer(BaseSection):
                      'delta_m', 'delta_cb', 'phi']:
             out['d_' + name[6:] if name.startswith('delta_') else name] = -tr[name][iz] / kMpc ** 2
         return out
+
+
+@register_section
+class Perturbations(BaseSection):
+    """Native Newtonian-gauge perturbation source tables.
+
+    Surface parity with the class engine's Perturbations section
+    (models/classy.py Perturbations, reference classy.py:231-234,415):
+    ``table()`` returns one structured array per requested k mode, each a
+    conformal-time series of the gauge potentials and species
+    (delta, theta, shear) fluctuations - here computed by the native
+    Einstein-Boltzmann integration instead of an external CLASS build.
+
+    The k modes (h/Mpc) come from ``extra_params['k_output_values']``
+    (scalar or sequence; default (0.01, 0.1, 1.0), mirroring CLASS's
+    ``k_output_values`` input).
+    """
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self._engine = engine
+
+    def table(self):
+        r"""List of structured arrays (one per k of ``k_output_values``)
+        with fields 'tau [Mpc]', 'a', and the MB95 Newtonian-gauge
+        perturbations (delta_g, theta_g, shear_g, delta_b, theta_b,
+        delta_cdm, theta_cdm, delta_ur, theta_ur, delta_ncdm, theta_ncdm,
+        phi, psi), normalized to comoving curvature R = 1."""
+        from ..boltzmann.perturbations import compute_perturbation_series
+        k_out = self._engine._extra_params.get('k_output_values', (0.01, 0.1, 1.0))
+        k_h = np.atleast_1d(np.asarray(k_out, dtype=np.float64))
+        h = float(self._engine['h'])
+        th = self._engine.get_section('thermodynamics')._th
+        out = compute_perturbation_series(self._engine._perturbation_params(),
+                                          th, jnp.asarray(k_h * h))
+        tau = np.asarray(out['tau'])
+        a = np.asarray(out['a'])
+        series = np.asarray(out['series'])  # (nk, n_names, n_tau)
+        names = list(out['names'])
+        dtype = [('tau [Mpc]', np.float64), ('a', np.float64)]
+        dtype += [(name, np.float64) for name in names]
+        tables = []
+        for ik in range(k_h.size):
+            arr = np.empty(tau.size, dtype=dtype)
+            arr['tau [Mpc]'] = tau
+            arr['a'] = a
+            for i, name in enumerate(names):
+                arr[name] = series[ik, i]
+            tables.append(arr)
+        return tables
 
 
 @register_section

@@ -37,7 +37,7 @@ def oracle_rhs_factory(tabs_np, k, lmax_g=40, lmax_pol=40, lmax_ur=40,
     lneta = tabs_np['lneta']
     interp = {n: tabs_np[n] for n in ('lna', 'Hc', 'kp', 'cb2', 'fg', 'fur',
                                       'fc', 'fb', 'fnc', 'fde', 'w_nc', 'w_de')}
-    am = float(tabs_np['am'])
+    am = float(np.asarray(tabs_np["am"]).reshape(-1)[0])
 
     i_g = 5
     i_p = i_g + (lmax_g + 1)
@@ -198,7 +198,7 @@ def run_oracle(params, thermo, k, eta_eval, lmax_g=40, lmax_pol=40, lmax_ur=40,
     lneta = tabs_np['lneta']
     lna = tabs_np['lna']
     eta_ini = float(np.clip(0.03 / k, tabs_np['eta_ini_min'], tabs_np['eta_rd']))
-    y0 = oracle_ics(coeffs, meta, k, eta_ini, qj, dlnf0, float(tabs_np['am']),
+    y0 = oracle_ics(coeffs, meta, k, eta_ini, qj, dlnf0, float(np.asarray(tabs_np["am"]).reshape(-1)[0]),
                     lna_of=(lneta, lna))
 
     eta_eval = np.asarray(eta_eval, dtype=np.float64)
@@ -214,7 +214,7 @@ def run_oracle(params, thermo, k, eta_eval, lmax_g=40, lmax_pol=40, lmax_ur=40,
         Fur = y[meta['i_u']:meta['i_u'] + meta['lmax_ur'] + 1]
         psi_nc = y[meta['i_n']:].reshape(meta['nq_ncdm'], meta['lmax_ncdm'] + 1)
         a = np.exp(c['lna'])
-        eps = np.sqrt(qj ** 2 + (a * float(tabs_np['am'])) ** 2)
+        eps = np.sqrt(qj ** 2 + (a * float(np.asarray(tabs_np["am"]).reshape(-1)[0])) ** 2)
         I_rho = np.sum(w_fd * qj ** 2 * eps)
         nc_sig = (2.0 / 3.0) * np.sum(w_fd * qj ** 4 / eps * psi_nc[:, 2]) / I_rho
         H2k2 = c['Hc'] ** 2 / k ** 2
