@@ -110,7 +110,13 @@ class NativeEngine(BaseEngine):
         """Unlensed CMB spectra computed to ``lmax + lensing_margin``
         (extra_params, default 400) and cached, so a later lensed_cl call
         at the same ``lmax`` reuses them (the margin keeps the
-        correlation-function remapping unbiased at the output edge)."""
+        correlation-function remapping unbiased at the output edge).
+
+        With ``r > 0`` the native tensor solver's contributions
+        (boltzmann/tensor.py) are added to tt/ee/te and provide the
+        non-zero unlensed BB, up to ``ellmax_tensor`` (extra_params,
+        default 600 - tensor spectra are damping-suppressed above
+        l ~ 500 and the reference's CLASS default caps them similarly)."""
         margin = int(self._extra_params.get('lensing_margin', 400))
         cache = getattr(self, '_unl_cache', None)
         if cache is None or cache[0] < lmax + margin:
@@ -123,6 +129,25 @@ class NativeEngine(BaseEngine):
             kmax = self._extra_params.get('kmax_cl', None)
             unl = harmonic.compute_cls(self._perturbation_params(), th,
                                        lmax=lmax + margin, kmax=kmax)
+            import jax
+            try:
+                has_tensors = float(self['r']) > 0.0
+            except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+                raise CosmologyInputError(
+                    'tensor Cls need a concrete r (engine built inside jit/vmap)')
+            if has_tensors:
+                from ..boltzmann import tensor
+                lmax_t = min(lmax + margin,
+                             int(self._extra_params.get('ellmax_tensor', 600)))
+                pp = self._perturbation_params()
+                pp['r'] = self['r']
+                pp['n_t'] = self['n_t']
+                pp['alpha_t'] = self['alpha_t']
+                ten = tensor.compute_tensor_cls(pp, th, lmax=lmax_t)
+                pad = lmax + margin - lmax_t
+                for name in ('tt', 'ee', 'te', 'bb'):
+                    add = jnp.concatenate([ten[name], jnp.zeros(pad)]) if pad > 0 else ten[name]
+                    unl[name] = unl[name] + add
             cache = (lmax + margin, unl)
             self._unl_cache = cache
         return cache[1]
