@@ -220,6 +220,60 @@ _AXICLASSY_SECTIONS = dict(
 )
 
 
+# ---- native recipe: self-contained end-to-end training -------------------
+# The truth engine is the in-repo Einstein-Boltzmann solver
+# (boltzmann/perturbations.py), so sample -> fit -> serve runs with ZERO
+# external C/Fortran codes — the one thing the reference's recipes
+# (train_classy.py:27-60) can never do. Boxes are restricted to the native
+# solver's validated domain: flat geometries, one (combined) massive
+# neutrino species, background-only w0/wa dark energy (models/native.py).
+
+_NATIVE_BASE = {'logA': (2.8, 3.3), 'n_s': (0.88, 1.06), 'h': (0.55, 0.82),
+                'omega_b': (0.019, 0.026), 'omega_cdm': (0.08, 0.20)}
+
+_NATIVE_SECTIONS = {
+    'background': dict(
+        params={'h': (0.5, 0.9), 'omega_cdm': (0.05, 0.30), 'omega_b': (0.015, 0.035),
+                'm_ncdm': (0.0, 1.0), 'w0_fld': (-2.0, -0.3), 'wa_fld': (-2.0, 1.5)},
+        cosmo={}, calculator_sections=['background'], save_every=100,
+        exclude=['X.logA', 'X.n_s', 'X.tau_reio'], prepare='omega_to_Omega_m',
+        engines={'per_column': dict(array=dict(nhidden=(64,) * 8, activation='silu'),
+                                    scalar=dict(nhidden=(20,)))},
+        fit=dict(batch_frac=[1.0] * 5, learning_rate=[1e-3, 1e-4, 1e-5, 1e-6, 1e-7],
+                 batch_norm=True, learning_rate_scheduling=False, epochs=50000, patience=10000)),
+    'thermodynamics': dict(
+        params={'h': (0.5, 0.9), 'omega_cdm': (0.05, 0.30), 'omega_b': (0.015, 0.035),
+                'm_ncdm': (0.0, 1.0), 'tau_reio': (0.02, 0.13)},
+        cosmo={}, calculator_sections=['thermodynamics'], save_every=100,
+        exclude=['X.logA', 'X.n_s'],
+        engines={'thermodynamics.*': dict(nhidden=(10,) * 5, activation='tanh')},
+        fit=dict(batch_frac=[0.1, 0.2, 0.4, 1.0],
+                 learning_rate=[1e-2, 1e-3, 1e-5, 1e-7],
+                 patience=5000, epochs=50000)),
+    'fourier': dict(
+        params={**_NATIVE_BASE, 'm_ncdm': (0.0, 0.6),
+                'w0_fld': (-1.5, -0.5), 'wa_fld': (-1.5, 1.0)},
+        cosmo={},
+        calculator_sections=['background', 'thermodynamics', 'primordial', 'fourier'],
+        save_every=10, exclude=['X.tau_reio'],
+        engines={'fourier.*': dict(nhidden=(64,) * 5, activation='silu', yoperation=['log10']),
+                 'fourier.pk.delta_cb.delta_cb': dict(nhidden=(64,) * 5, activation='silu')},
+        yoperations=['fourier_norm'],
+        fit=dict(batch_frac=[0.2, 0.3, 0.5, 1.0],
+                 learning_rate=[1e-2, 1e-3, 1e-5, 1e-7],
+                 batch_norm=False, learning_rate_scheduling=False, epochs=10000, patience=1000)),
+    'harmonic': dict(
+        params={**_NATIVE_BASE, 'm_ncdm': (0.0, 0.6), 'tau_reio': (0.02, 0.12)},
+        cosmo={'lensing': True},
+        calculator_sections=['background', 'thermodynamics', 'primordial', 'harmonic'],
+        save_every=2,
+        engines={'harmonic.*': dict(nhidden=(64,) * 6, yoperation=['cl_norm'])},
+        fit=dict(batch_frac=[0.2, 0.3, 0.5, 1.0],
+                 learning_rate=[1e-2, 1e-3, 1e-5, 1e-7],
+                 patience=1000, epochs=50000)),
+}
+
+
 RECIPES = {
     'classy-base_mnu_w_wa': dict(
         engine='class', cosmo={'neutrino_hierarchy': 'degenerate'},
@@ -235,6 +289,9 @@ RECIPES = {
     'axiclassy-base': dict(
         engine='axiclass', cosmo={},
         sampler=dict(engine='lhs', seed=42), sections=_AXICLASSY_SECTIONS),
+    'native-base': dict(
+        engine='native', cosmo={},
+        sampler=dict(engine='lhs', seed=7), sections=_NATIVE_SECTIONS),
 }
 
 
