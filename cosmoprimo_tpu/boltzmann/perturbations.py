@@ -69,7 +69,8 @@ _C_KMS = constants.c / 1e3
 
 # state layout (per k): see _unpack
 _I_PHI, _I_DC, _I_TC, _I_DB, _I_TB, _I_DG, _I_TG = 0, 1, 2, 3, 4, 5, 6
-_I_FG = 7                      # F_gamma_2 .. F_gamma_LMAX_G   (LMAX_G-1)
+_I_DDE, _I_TDE = 7, 8          # dark-energy fluid delta, theta (CLP, cs2_fld)
+_I_FG = 9                      # F_gamma_2 .. F_gamma_LMAX_G   (LMAX_G-1)
 _I_GP = _I_FG + (LMAX_G - 1)   # G_0 .. G_LMAX_POL             (LMAX_POL+1)
 _I_UR = _I_GP + (LMAX_POL + 1)  # F_ur_0 .. F_ur_LMAX_UR       (LMAX_UR+1)
 _I_NC = _I_UR + (LMAX_UR + 1)  # Psi_{s,q,l}: NS * NQ * (LMAX_NCDM+1)
@@ -194,6 +195,7 @@ def build_tables(params, thermo):
         'w_de': w0 + wa * (1.0 - res(jnp.exp(lna))),
         'I_rho_ratio': res(I_rho / I_rho0),
         'eta0': eta[-1], 'eta_ini_min': eta[0] * 1.05, 'am': am,
+        'wa_fld': wa, 'cs2_fld': params.get('cs2_fld', 1.0),
         # latest allowed start: a = 1e-7, where the matter fraction is
         # ~3e-4. The MB95 adiabatic set assumes aH eta = 1 (pure RD);
         # starting at a = 1e-5 (matter ~3%) shifts the conserved comoving
@@ -232,7 +234,10 @@ def _fetch(tabs, eta):
     s = tabs['stack']
     vals = s[:, i] * (1.0 - w) + s[:, i + 1] * w
     vals = jnp.where(jnp.asarray(_LOG_MASK), jnp.exp(vals), vals)
-    return dict(zip(_STACK_NAMES, vals))
+    out = dict(zip(_STACK_NAMES, vals))
+    out['wa_fld'] = tabs['wa_fld']      # scalars the DE fluid needs
+    out['cs2_fld'] = tabs['cs2_fld']
+    return out
 
 
 def build_time_grids(tabs, k):
@@ -317,6 +322,11 @@ def adiabatic_ics(tabs, k, eta_ini):
     y = y.at[_I_TB].set(th)
     y = y.at[_I_DG].set(dg)
     y = y.at[_I_TG].set(th)
+    # dark-energy fluid, adiabatic: delta_i = (3/4)(1+w_i) delta_g,
+    # common velocity (negligible at a ~ 1e-9-1e-7, but consistent)
+    w_de_ini = c['w_de']
+    y = y.at[_I_DDE].set(0.75 * (1.0 + w_de_ini) * dg)
+    y = y.at[_I_TDE].set(th)
     # massless neutrinos: F0 = dg, F1 = 4 theta/(3k), F2 = 2 sigma
     y = y.at[_I_UR + 0].set(dg)
     y = y.at[_I_UR + 1].set(4.0 * th / (3.0 * k))
@@ -387,7 +397,8 @@ def _metric(y, k, eta, c, am):
     stress = (2.0 / 3.0) * (fg * Fg2_metric + fur * Fur2_metric) + fnc * nc_opw_sig
     psi = phi - 4.5 * H2k2 * stress
     tur_full = 0.75 * k * Fur[1]
-    Stheta_other = fc * tc + fb * tb + (4.0 / 3.0) * fg * tg + fnc * k * nc_opw_th_k
+    Stheta_other = (fc * tc + fb * tb + (4.0 / 3.0) * fg * tg + fnc * k * nc_opw_th_k
+                    + c['fde'] * (1.0 + c['w_de']) * y[_I_TDE])
     num = -Hc * psi + 1.5 * H2k2 * (Stheta_other + jnp.where(ur_rsa, 0.0, (4.0 / 3.0) * fur * tur_full))
     phip = jnp.where(ur_rsa, num / (1.0 - 6.0 * H2k2 * fur), num)
     tur = jnp.where(ur_rsa, 3.0 * phip, tur_full)
@@ -418,6 +429,22 @@ def deriv_full(y, k, eta, c, am):
     dtc = -Hc * tc + k2psi
     ddb = -tb + 3.0 * phip
     ddg = -(4.0 / 3.0) * tg + 4.0 * phip
+
+    # --- dark-energy fluid (CLP w0/wa, rest-frame cs2_fld; CLASS 'fld'
+    # with use_ppf=no). ca2 enters only through (cs2 - ca2)(1+w) =
+    # cs2 (1+w) - [w (1+w) + wa a / 3], which is division-free; the lone
+    # 1/(1+w) in theta' is regularized so a w = -1 crossing (or w == -1
+    # exactly, where every DE source is weighted by f_de (1+w) -> 0)
+    # stays finite.
+    w_de, cs2 = c['w_de'], c['cs2_fld']
+    a_c = jnp.exp(c['lna'])
+    dde, tde = y[_I_DDE], y[_I_TDE]
+    opw = 1.0 + w_de
+    opw_cs2_m_ca2 = cs2 * opw - (w_de * opw + c['wa_fld'] * a_c / 3.0)
+    inv_opw = opw / (opw * opw + 1e-24)
+    ddde = (-opw * (tde - 3.0 * phip) - 3.0 * Hc * (cs2 - w_de) * dde
+            - 9.0 * Hc ** 2 * opw_cs2_m_ca2 * tde / k ** 2)
+    dtde = -Hc * (1.0 - 3.0 * cs2) * tde + cs2 * k ** 2 * dde * inv_opw + k2psi
 
     R = (4.0 / 3.0) * fg / fb
     # full (post-TCA) momentum equations WITHOUT the Thomson drag: the drag
@@ -506,7 +533,7 @@ def deriv_full(y, k, eta, c, am):
                 dNc.append(d)
     dNc = jnp.stack(dNc)
 
-    return jnp.concatenate([jnp.stack([phip, ddc, dtc, ddb, dtb, ddg, dtg]),
+    return jnp.concatenate([jnp.stack([phip, ddc, dtc, ddb, dtb, ddg, dtg, ddde, dtde]),
                             dFg, dG, dUr, dNc], axis=0)
 
 
@@ -582,8 +609,11 @@ def _poisson_project(y, k, eta, c, am):
     psi, phip, tur, tca, ur_rsa = _metric(y, k, eta, c, am)
     nc_delta, nc_opw_th_k, _ = _ncdm_moments(y, a, am)
     dur = jnp.where(ur_rsa, -4.0 * psi, y[_I_UR])
-    Delta = (fg * y[_I_DG] + fur * dur + fc * y[_I_DC] + fb * y[_I_DB] + fnc * nc_delta)
+    fde, w_de = c['fde'], c['w_de']
+    Delta = (fg * y[_I_DG] + fur * dur + fc * y[_I_DC] + fb * y[_I_DB] + fnc * nc_delta
+             + fde * y[_I_DDE])
     Stheta = (fc * y[_I_TC] + fb * y[_I_TB] + (4.0 / 3.0) * (fg * y[_I_TG] + fur * tur)
+              + fde * (1.0 + w_de) * y[_I_TDE]
               + fnc * k * nc_opw_th_k)
     phi_p = -1.5 * (Hc / k) ** 2 * (Delta + 3.0 * Hc / k ** 2 * Stheta)
     return y.at[_I_PHI].set(jnp.where(k > POISSON_KAH * Hc, phi_p, y[_I_PHI]))
@@ -616,22 +646,52 @@ def _tca_project(y, k, c):
     return y
 
 
+def _rsa_metric(yB, k, c):
+    """psi and phi' of the reduced streaming-phase state (the theta_rad =
+    3 phi' closure makes phi' an exact small solve)."""
+    Hc = c['Hc']
+    fg, fur, fc, fb, fnc = c['fg'], c['fur'], c['fc'], c['fb'], c['fnc']
+    w = c['w_nc']
+    phi, dc, tc, db, tb, dn, tn, sn, dde, tde = yB
+    H2k2 = Hc ** 2 / k ** 2
+    psi = phi - 4.5 * H2k2 * fnc * (1.0 + w) * sn
+    src = -Hc * psi + 1.5 * H2k2 * (fc * tc + fb * tb + fnc * (1.0 + w) * tn
+                                    + c['fde'] * (1.0 + c['w_de']) * tde)
+    phip = src / (1.0 - 6.0 * H2k2 * (fg + fur))
+    return psi, phip
+
+
+def _de_qs_values(psi, phip, k, c):
+    """Quasi-static dark-energy fluid values sub-sound-horizon: the
+    rest-frame pressure support kills DE clustering, and the balance of
+    the theta equation (cs2 k^2 delta/(1+w) + k^2 psi = 0) with delta' = 0
+    gives algebraic values bounded by psi. Used (and the ODE frozen)
+    where cs k eta > RSA_KETA - the streaming-phase ln-eta grid does not
+    resolve the cs ~ 1 sound oscillation there (RK4 would blow up), while
+    modes below the threshold advance < 0.2 rad per step and integrate
+    stably."""
+    w_de, cs2 = c['w_de'], jnp.maximum(c['cs2_fld'], 1e-12)
+    dde_qs = -(1.0 + w_de) * psi / cs2
+    tde_qs = 3.0 * phip + 3.0 * c['Hc'] * (cs2 - w_de) * psi / cs2
+    return dde_qs, tde_qs
+
+
 def deriv_rsa(yB, k, eta, c, am):
     """Streaming-phase derivative: reduced state (phi, dc, tc, db, tb,
-    dn, tn, sn) with radiation algebraic (delta = -4 psi, theta = 3 phi')
-    and the massive species as an adiabatic viscous fluid."""
-    del eta, am
+    dn, tn, sn, dde, tde) with radiation algebraic (delta = -4 psi,
+    theta = 3 phi'), the massive species as an adiabatic viscous fluid,
+    and the dark-energy CLP fluid (as deriv_full; quasi-static and frozen
+    sub-sound-horizon, see _de_qs_values)."""
+    del am
     Hc, kp, cb2 = c['Hc'], c['kp'], c['cb2']
     fg, fur, fc, fb, fnc = c['fg'], c['fur'], c['fc'], c['fb'], c['fnc']
     w = c['w_nc']
     cg2 = w - c['dw_nc'] / (3.0 * (1.0 + w))
-    phi, dc, tc, db, tb, dn, tn, sn = yB
+    phi, dc, tc, db, tb, dn, tn, sn, dde, tde = yB
+    w_de, cs2 = c['w_de'], c['cs2_fld']
+    opw_de = 1.0 + w_de
 
-    H2k2 = Hc ** 2 / k ** 2
-    psi = phi - 4.5 * H2k2 * fnc * (1.0 + w) * sn
-    # phi' with theta_rad = 3 phi' folded in (exact small solve)
-    src = -Hc * psi + 1.5 * H2k2 * (fc * tc + fb * tb + fnc * (1.0 + w) * tn)
-    phip = src / (1.0 - 6.0 * H2k2 * (fg + fur))
+    psi, phip = _rsa_metric(yB, k, c)
     tg = 3.0 * phip
 
     k2psi = k ** 2 * psi
@@ -643,7 +703,17 @@ def deriv_rsa(yB, k, eta, c, am):
     ddn = -(1.0 + w) * (tn - 3.0 * phip) - 3.0 * Hc * (cg2 - w) * dn
     dtn = -Hc * (1.0 - 3.0 * cg2) * tn + (cg2 / (1.0 + w)) * k ** 2 * dn + k2psi - k ** 2 * sn
     dsn = -3.0 * Hc * sn + (16.0 / 15.0) * (cg2 / (1.0 + w)) * tn
-    return jnp.stack([phip, ddc, dtc, ddb, dtb, ddn, dtn, dsn])
+    # dark-energy fluid (same regularized form as deriv_full)
+    a_c = jnp.exp(c['lna'])
+    opw_cs2_m_ca2 = cs2 * opw_de - (w_de * opw_de + c['wa_fld'] * a_c / 3.0)
+    inv_opw = opw_de / (opw_de * opw_de + 1e-24)
+    ddde = (-opw_de * (tde - 3.0 * phip) - 3.0 * Hc * (cs2 - w_de) * dde
+            - 9.0 * Hc ** 2 * opw_cs2_m_ca2 * tde / k ** 2)
+    dtde = -Hc * (1.0 - 3.0 * cs2) * tde + cs2 * k ** 2 * dde * inv_opw + k2psi
+    de_qs = (jnp.sqrt(jnp.maximum(cs2, 0.0)) * k * eta) > RSA_KETA
+    ddde = jnp.where(de_qs, 0.0, ddde)
+    dtde = jnp.where(de_qs, 0.0, dtde)
+    return jnp.stack([phip, ddc, dtc, ddb, dtb, ddn, dtn, dsn, ddde, dtde])
 
 
 def _rk4_scan(deriv, y0, eta_grid, harvest_eta, tabs, k, am, project=None, emit=None):
@@ -705,7 +775,22 @@ def _ncdm_handoff(yA, eta_Aend, tabs, k, am):
     dnH, opwtH, opwsH = _ncdm_moments(yA, aH, am)
     opw = 1.0 + cH['w_nc']
     return jnp.stack([yA[_I_PHI], yA[_I_DC], yA[_I_TC], yA[_I_DB], yA[_I_TB],
-                      dnH, k * opwtH / opw, opwsH / opw])
+                      dnH, k * opwtH / opw, opwsH / opw,
+                      yA[_I_DDE], yA[_I_TDE]])
+
+
+def _phase_b_projector():
+    """Post-step pin of the streaming-phase dark-energy fluid to its
+    quasi-static values sub-sound-horizon (see _de_qs_values)."""
+
+    def projectB(y_start, y_end, kk, d, e1, cm, c1):
+        psi, phip = _rsa_metric(y_end, kk, c1)
+        dde_qs, tde_qs = _de_qs_values(psi, phip, kk, c1)
+        de_qs = (jnp.sqrt(jnp.maximum(c1['cs2_fld'], 0.0)) * kk * e1) > RSA_KETA
+        y_end = y_end.at[8].set(jnp.where(de_qs, dde_qs, y_end[8]))
+        return y_end.at[9].set(jnp.where(de_qs, tde_qs, y_end[9]))
+
+    return projectB
 
 
 def integrate_perturbations(params, thermo, k, z_outputs):
@@ -733,7 +818,8 @@ def integrate_perturbations(params, thermo, k, z_outputs):
     eta_Aend = eta_A[:, -1]
     yB0 = _ncdm_handoff(yA, eta_Aend, tabs, k, am)
 
-    yBf, outB = _rk4_scan(deriv_rsa, yB0, eta_B, eta_t, tabs, k, am)
+    yBf, outB = _rk4_scan(deriv_rsa, yB0, eta_B, eta_t, tabs, k, am,
+                          project=_phase_b_projector())
 
     # ---- assemble per-z products, selecting phase A or B per (z, k)
     n_z = eta_t.shape[0]
@@ -882,7 +968,8 @@ def compute_los_sources(params, thermo, k, z_nodes=None):
 
     eta_Aend = eta_A[:, -1]
     yB0 = _ncdm_handoff(yA, eta_Aend, tabs, k, am)
-    _, _, srcB = _rk4_scan(deriv_rsa, yB0, eta_B, dummy, tabs, k, am, emit=emitB)
+    _, _, srcB = _rk4_scan(deriv_rsa, yB0, eta_B, dummy, tabs, k, am,
+                           project=_phase_b_projector(), emit=emitB)
 
     if z_nodes is None:
         z_nodes = _los_z_nodes()
@@ -909,7 +996,8 @@ def compute_los_sources(params, thermo, k, z_nodes=None):
 
 PERTURBATION_NAMES = ('delta_g', 'theta_g', 'shear_g', 'delta_b', 'theta_b',
                       'delta_cdm', 'theta_cdm', 'delta_ur', 'theta_ur',
-                      'delta_ncdm', 'theta_ncdm', 'phi', 'psi')
+                      'delta_ncdm', 'theta_ncdm', 'delta_fld', 'theta_fld',
+                      'phi', 'psi')
 
 
 def compute_perturbation_series(params, thermo, k, z_nodes=None):
@@ -938,7 +1026,7 @@ def compute_perturbation_series(params, thermo, k, z_nodes=None):
         return jnp.stack([y[_I_DG], y[_I_TG], 0.5 * y[_I_FG],
                           y[_I_DB], y[_I_TB], y[_I_DC], y[_I_TC],
                           y[_I_UR + 0], tur, dn, k * opw_th_k / opw,
-                          y[_I_PHI], psi])
+                          y[_I_DDE], y[_I_TDE], y[_I_PHI], psi])
 
     def emitB(y, e1, c1):
         psi = y[0] - 4.5 * (c1['Hc'] / k) ** 2 * c1['fnc'] * (1.0 + c1['w_nc']) * y[7]
@@ -946,13 +1034,14 @@ def compute_perturbation_series(params, thermo, k, z_nodes=None):
         tg = 3.0 * ydot[0]
         zero = jnp.zeros_like(psi)
         return jnp.stack([-4.0 * psi, tg, zero, y[3], y[4], y[1], y[2],
-                          -4.0 * psi, tg, y[5], y[6], y[0], psi])
+                          -4.0 * psi, tg, y[5], y[6], y[8], y[9], y[0], psi])
 
     yA, _, srcA = _rk4_scan(deriv_full, y0, eta_A, dummy, tabs, k, am,
                             project=_phase_a_projector(tabs, am), emit=emitA)
     eta_Aend = eta_A[:, -1]
     yB0 = _ncdm_handoff(yA, eta_Aend, tabs, k, am)
-    _, _, srcB = _rk4_scan(deriv_rsa, yB0, eta_B, dummy, tabs, k, am, emit=emitB)
+    _, _, srcB = _rk4_scan(deriv_rsa, yB0, eta_B, dummy, tabs, k, am,
+                           project=_phase_b_projector(), emit=emitB)
 
     if z_nodes is None:
         z_nodes = _los_z_nodes()

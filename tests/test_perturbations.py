@@ -190,3 +190,38 @@ def test_ncdm_split_vs_combined(monkeypatch):
     assert abs(r[0]) < 1e-3                      # identical above the fs length
     assert 2e-3 < r[2] < 3e-2 and r[2] > r[1]    # growing split effect
     # full-knob measurement (scripts: +0.41% @ k=0.05, +1.42% @ 0.5 h/Mpc)
+
+
+@pytest.mark.slow
+def test_dark_energy_fluid_perturbations(monkeypatch):
+    """w0/wa dark energy carries CLP fluid perturbations (rest-frame
+    cs2_fld, CLASS 'fld' with use_ppf=no): the w0wa background suppresses
+    small-scale growth, DE clustering adds back power toward the horizon,
+    a smaller cs2_fld clusters more at large scales and nothing
+    sub-horizon, and the regularized 1/(1+w) keeps a w = -1 crossing
+    finite. LCDM (w = -1) accuracy is owned by the CLASS-anchored tests
+    above (every DE source is weighted by f_de (1+w) -> 0)."""
+    from cosmoprimo_tpu.boltzmann.perturbations import linear_pk
+    _reduced_knobs(monkeypatch)
+    K = jnp.asarray([1e-3, 0.01, 0.2, 0.5])
+    c = DESI(engine='native')
+    th = c.get_thermodynamics().table
+    pk0 = np.asarray(linear_pk(c.engine._perturbation_params(), th, K, [0.0])['pk_m'][0])
+
+    cw = c.clone(w0_fld=-0.9, wa_fld=0.3)
+    ppw = cw.engine._perturbation_params()
+    pkw = np.asarray(linear_pk(ppw, th, K, [0.0])['pk_m'][0])
+    r = pkw / pk0
+    assert 0.80 < r[2] < 0.95 and abs(r[3] / r[2] - 1.0) < 0.02   # growth suppression
+    assert r[0] > r[2] + 0.02                                     # DE clusters near the horizon
+
+    ppw2 = dict(ppw)
+    ppw2['cs2_fld'] = 0.01
+    pkw2 = np.asarray(linear_pk(ppw2, th, K, [0.0])['pk_m'][0])
+    assert pkw2[1] / pkw[1] > 1.005                                # soft cs2 clusters more
+    assert abs(pkw2[3] / pkw[3] - 1.0) < 1e-3                      # nothing sub-horizon
+
+    # phantom crossing (w = -1 at a ~ 0.8): regularization keeps it finite
+    ppx = c.clone(w0_fld=-1.1, wa_fld=0.5).engine._perturbation_params()
+    pkx = np.asarray(linear_pk(ppx, th, K, [0.0])['pk_m'][0])
+    assert np.isfinite(pkx).all() and (pkx > 0).all()
