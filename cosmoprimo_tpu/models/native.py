@@ -23,9 +23,10 @@ boltzmann/harmonic.py / lensing.py), and Perturbations (per-k
 Newtonian-gauge source time-series, the classy get_perturbations
 surface) - the full seven-section surface. The massive-neutrino sector
 carries one exact momentum hierarchy per species (normal/inverted/
-degenerate splits are solved per-mass, not combined). Limitations
-(documented, raise where relevant): flat cosmologies; no dark-energy
-perturbations (background w0/wa only).
+degenerate splits are solved per-mass, not combined); w0/wa dark energy
+carries CLP fluid perturbations (rest-frame cs2_fld, regularized across
+w = -1 - CLASS 'fld' with use_ppf=no). Limitation (documented, raises):
+flat cosmologies only.
 """
 
 import numpy as np
@@ -341,16 +342,18 @@ class Harmonic(BaseSection):
     the reference can only import from an external CLASS/CAMB build.
 
     Accuracy vs the archived CLASS v3.1.1 spectra (DESI fiducial),
-    CI-enforced by tests/test_harmonic.py and measured across the full
-    default window l <= 2500: TT within 1.2% for 100 <= l <= 2000 (about
-    3% through the low-l ISW/reionization range and -3.8% at l = 2500);
-    EE within 1.5% for l >= 150 (up to ~10% through the reionization bump
-    at l ~ 5-50, where RECFAST-vs-HyRec recombination detail dominates);
-    TE within ~2% of the local envelope away from zero crossings; lensing
-    potential within ~12% to l = 2000 (limited by the high-k transfer
-    fidelity); lensed spectra add <0.3% convolution error on top of the
-    unlensed inputs (the standalone convolution reproduces CLASS lensed
-    from CLASS unlensed to that level).
+    CI-enforced by tests/test_harmonic.py (banded bars at ellmax 800) and
+    measured across the full default window l <= 2500 at the current
+    Poisson-pinned solver (doc/parity.md carries the table): TT within
+    ~1.1% for l <= 100 and 0.7% for 100 <= l <= 2000 (-3.9% at l = 2500);
+    EE within 6.5% through the reionization shoulder (l ~ 5-50, where
+    RECFAST-vs-HyRec recombination detail dominates) and 1.3% for
+    l >= 150; TE within a few % of the local envelope away from zero
+    crossings; lensing potential within ~10% to l = 1500 (-24% at the
+    l = 2500 edge); lensed spectra add <0.3% convolution error on top of
+    the unlensed inputs (the standalone convolution reproduces CLASS
+    lensed from CLASS unlensed to that level). With r > 0 the tensor
+    contributions (boltzmann/tensor.py) are included and BB is non-zero.
     """
 
     def __init__(self, engine):

@@ -14,8 +14,10 @@ Enforced accuracy (DESI fiducial, ellmax_cl=800): TT within 1.5% for
 l >= 100 and 3-4% below; EE within 1.5% for l >= 150 (up to ~10% through
 the reionization bump, where RECFAST-vs-HyRec recombination detail
 dominates); TE within 8% of its local value at non-crossing multipoles;
-lensing potential within 3-12% (limited by the high-k transfer fidelity);
-lensed TT within 1.5% including the smoothing signature at l = 800.
+lensing potential within 3-12%; lensed TT within 1.5% including the
+smoothing signature at l = 800. These bars are measured at THIS run's
+ellmax_cl = 800 (its kmax heuristic included); the full-accuracy table
+at lmax 2500 is recorded in doc/parity.md.
 The standalone lensing convolution, fed the archived CLASS unlensed
 spectra, reproduces the archived lensed spectra to <~0.3%
 (test_lensing_module_vs_class).
