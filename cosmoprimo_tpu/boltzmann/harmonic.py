@@ -203,6 +203,9 @@ def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None):
         ells = bessel.default_ells(lmax)
     ells = np.asarray(ells)
 
+    # full step budget: the LOS source tap is per-step, so the harvested
+    # acoustic sources through recombination lose fidelity at the reduced
+    # (transfer-grade) tiers - measured as band failures in test_harmonic
     k_c = jnp.asarray(coarse_k_grid(kmax))
     src = compute_los_sources(params, thermo, k_c)
     src['P_R_params'] = (params['n_s'], params['A_s'], params['k_pivot'],

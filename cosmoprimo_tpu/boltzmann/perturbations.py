@@ -67,6 +67,22 @@ POISSON_KAH = 2.5  # pin phi to the Poisson constraint where k > POISSON_KAH * a
 
 _C_KMS = constants.c / 1e3
 
+
+def steps_for_kmax(kmax_mpc):
+    """Step/table budget (n_steps_a, n_steps_b, m_tab) for a STATIC kmax
+    [1/Mpc]. The per-k grids distribute a fixed budget along the step
+    density, so the required budget scales with the highest k: measured
+    stability anchors (scripts/dev_steps_opt.py + stress probes) are
+    2048/768 at k = 0.67/Mpc, 6144/3072 at 3.4/Mpc, 10240/6144 at
+    6.7/Mpc (the phase-B floor is the semi-relativistic ncdm acoustic
+    band); the tiers below carry ~25% margin over those."""
+    kmax_mpc = float(kmax_mpc)
+    if kmax_mpc <= 0.9:
+        return 2560, 1280, 4096
+    if kmax_mpc <= 3.6:
+        return 8192, 4096, 8192
+    return N_STEPS_A, N_STEPS_B, M_TAB
+
 # state layout (per k): see _unpack
 _I_PHI, _I_DC, _I_TC, _I_DB, _I_TB, _I_DG, _I_TG = 0, 1, 2, 3, 4, 5, 6
 _I_DDE, _I_TDE = 7, 8          # dark-energy fluid delta, theta (CLP, cs2_fld)
@@ -106,7 +122,7 @@ def _ncdm_q():
     return (jnp.asarray(q), jnp.asarray(w_fd), jnp.asarray(dlnf0))
 
 
-def build_tables(params, thermo):
+def build_tables(params, thermo, m_tab=None):
     """Uniform-ln(eta) coefficient tables for the integration.
 
     ``params``: dict with omega_b, omega_cdm, h, T_cmb, N_ur, m_ncdm (a
@@ -114,6 +130,8 @@ def build_tables(params, thermo):
     temperature; 0 for none), T_ncdm_over_cmb, w0_fld, wa_fld.
     ``thermo``: ThermodynamicsResult (kappa', T_m on its ln a grid).
     """
+    if m_tab is None:
+        m_tab = M_TAB
     h = params['h']
     T_cmb = params['T_cmb']
     omega_g = (T_cmb ** 4 * 4.0 / constants.c ** 3 * constants.Stefan_Boltzmann
@@ -123,7 +141,7 @@ def build_tables(params, thermo):
     omega_c = params['omega_cdm']
 
     # master ln a grid, extended to a = 1e-9 for high-k initial conditions
-    lna = jnp.asarray(np.linspace(np.log(1e-9), 0.0, 2 * M_TAB + 1))
+    lna = jnp.asarray(np.linspace(np.log(1e-9), 0.0, 2 * m_tab + 1))
     a = jnp.exp(lna)
 
     # ncdm energy/pressure on the SAME 5-point GL grid as the evolution.
@@ -178,7 +196,7 @@ def build_tables(params, thermo):
 
     # resample everything on a uniform ln(eta) grid
     lneta_m = jnp.log(eta)
-    lneta = jnp.linspace(lneta_m[0], lneta_m[-1], M_TAB)
+    lneta = jnp.linspace(lneta_m[0], lneta_m[-1], m_tab)
 
     def res(x):
         return jnp.interp(lneta, lneta_m, x)
@@ -229,7 +247,7 @@ def _fetch(tabs, eta):
     Uniform ln(eta) grid -> pure index arithmetic, no searchsorted;
     log-stored rows are exponentiated back."""
     x = (jnp.log(eta) - tabs['lneta0']) / tabs['dlneta']
-    i = jnp.clip(x.astype(jnp.int32), 0, M_TAB - 2)
+    i = jnp.clip(x.astype(jnp.int32), 0, tabs['stack'].shape[1] - 2)
     w = jnp.clip(x - i, 0.0, 1.0)
     s = tabs['stack']
     vals = s[:, i] * (1.0 - w) + s[:, i + 1] * w
@@ -240,13 +258,17 @@ def _fetch(tabs, eta):
     return out
 
 
-def build_time_grids(tabs, k):
+def build_time_grids(tabs, k, n_steps_a=None, n_steps_b=None):
     """Per-k integration grids: (eta_i, deta_i) arrays for both phases.
 
     Step density on the master grid: rho = max(k/ALPHA, 1/(BETA eta),
     kappa'/(2.8 KAPPA_SAFE) where tight coupling is off). The cumulative
     density s(eta) maps a uniform index grid onto eta via interpolation.
     """
+    if n_steps_a is None:
+        n_steps_a = N_STEPS_A
+    if n_steps_b is None:
+        n_steps_b = N_STEPS_B
     eta_m = jnp.exp(tabs['lneta'])
     kpm, Hcm = tabs['kp'], tabs['Hc']
     eta0 = tabs['eta0']
@@ -262,10 +284,10 @@ def build_time_grids(tabs, k):
     eta_Aend = jnp.clip(RSA_KETA / k[:, 0], eta_dec, eta0)
 
     def s_of(eta_q):
-        return jax.vmap(jnp.interp)(eta_q, jnp.broadcast_to(eta_m, (eta_q.shape[0], M_TAB)), s)
+        return jax.vmap(jnp.interp)(eta_q, jnp.broadcast_to(eta_m, (eta_q.shape[0], eta_m.shape[0])), s)
 
     s_ini, s_end = s_of(eta_ini), s_of(eta_Aend)
-    idx = jnp.linspace(0.0, 1.0, N_STEPS_A + 1)
+    idx = jnp.linspace(0.0, 1.0, n_steps_a + 1)
     s_grid = s_ini[:, None] + (s_end - s_ini)[:, None] * idx[None, :]
     eta_A = jax.vmap(jnp.interp)(s_grid, s, jnp.broadcast_to(eta_m, s.shape))  # (nk, N+1)
 
@@ -280,7 +302,7 @@ def build_time_grids(tabs, k):
     sB = jnp.concatenate([jnp.zeros((k.shape[0], 1)), jnp.cumsum(segB, axis=1)], axis=1)
     sB_ini, sB_end = (jax.vmap(jnp.interp)(x, jnp.broadcast_to(eta_m, sB.shape), sB)
                       for x in (eta_Aend, jnp.broadcast_to(eta0 * (1.0 + 1e-9), eta_Aend.shape)))
-    idxB = jnp.linspace(0.0, 1.0, N_STEPS_B + 1)
+    idxB = jnp.linspace(0.0, 1.0, n_steps_b + 1)
     sB_grid = sB_ini[:, None] + (sB_end - sB_ini)[:, None] * idxB[None, :]
     eta_B = jax.vmap(jnp.interp)(sB_grid, sB, jnp.broadcast_to(eta_m, sB.shape))
     eta_B = jnp.minimum(eta_B, eta0 * (1.0 + 1e-9))
@@ -793,14 +815,17 @@ def _phase_b_projector():
     return projectB
 
 
-def integrate_perturbations(params, thermo, k, z_outputs):
+def integrate_perturbations(params, thermo, k, z_outputs, n_steps=None):
     """Full two-phase integration. ``k`` in 1/Mpc (static shape); returns a
     dict of synchronous-gauge (CDM-comoving, CAMB-convention) transfer
     functions, Newtonian potentials, and growth sources at each z, all
-    normalized to comoving curvature R = 1."""
-    tabs = build_tables(params, thermo)
+    normalized to comoving curvature R = 1. ``n_steps``: optional STATIC
+    (n_steps_a, n_steps_b, m_tab) budget - see :func:`steps_for_kmax`;
+    None = the module defaults (safe to kmax ~ 7/Mpc)."""
+    na, nb, mt = n_steps if n_steps is not None else (None, None, None)
+    tabs = build_tables(params, thermo, m_tab=mt)
     am = tabs['am']
-    eta_A, eta_B, eta_ini = build_time_grids(tabs, k)
+    eta_A, eta_B, eta_ini = build_time_grids(tabs, k, n_steps_a=na, n_steps_b=nb)
     y0 = adiabatic_ics(tabs, k, eta_ini)
 
     z_outputs = jnp.asarray(z_outputs, dtype=jnp.float64)
@@ -942,7 +967,7 @@ def _los_emitters(tabs, k, am):
     return emitA, emitB
 
 
-def compute_los_sources(params, thermo, k, z_nodes=None):
+def compute_los_sources(params, thermo, k, z_nodes=None, n_steps=None):
     """Line-of-sight CMB sources on a common (adaptive) conformal-time grid.
 
     Runs the same two-phase integration as :func:`integrate_perturbations`
@@ -956,9 +981,10 @@ def compute_los_sources(params, thermo, k, z_nodes=None):
     (visibility NOT applied), 'g', 'emk' (= e^-kappa) on the tau grid,
     'eta0', 'tau_star' (visibility peak epoch, from thermo.z_star), and 'k'.
     """
-    tabs = build_tables(params, thermo)
+    na, nb, mt = n_steps if n_steps is not None else (None, None, None)
+    tabs = build_tables(params, thermo, m_tab=mt)
     am = tabs['am']
-    eta_A, eta_B, eta_ini = build_time_grids(tabs, k)
+    eta_A, eta_B, eta_ini = build_time_grids(tabs, k, n_steps_a=na, n_steps_b=nb)
     y0 = adiabatic_ics(tabs, k, eta_ini)
     dummy = jnp.full((1,), tabs['eta0'] * 2.0)
 
@@ -1000,7 +1026,7 @@ PERTURBATION_NAMES = ('delta_g', 'theta_g', 'shear_g', 'delta_b', 'theta_b',
                       'phi', 'psi')
 
 
-def compute_perturbation_series(params, thermo, k, z_nodes=None):
+def compute_perturbation_series(params, thermo, k, z_nodes=None, n_steps=None):
     """Newtonian-gauge perturbation time-series for each requested k mode,
     interpolated from the per-k adaptive step grids onto a shared
     conformal-time grid - the per-k source table the reference only
@@ -1012,9 +1038,10 @@ def compute_perturbation_series(params, thermo, k, z_nodes=None):
     :data:`PERTURBATION_NAMES` (MB95 conventions, comoving curvature
     R = 1; streaming-phase radiation entries are the RSA algebraic values).
     """
-    tabs = build_tables(params, thermo)
+    na, nb, mt = n_steps if n_steps is not None else (None, None, None)
+    tabs = build_tables(params, thermo, m_tab=mt)
     am = tabs['am']
-    eta_A, eta_B, eta_ini = build_time_grids(tabs, k)
+    eta_A, eta_B, eta_ini = build_time_grids(tabs, k, n_steps_a=na, n_steps_b=nb)
     y0 = adiabatic_ics(tabs, k, eta_ini)
     dummy = jnp.full((1,), tabs['eta0'] * 2.0)
 
@@ -1061,12 +1088,13 @@ def compute_perturbation_series(params, thermo, k, z_nodes=None):
             'names': PERTURBATION_NAMES}
 
 
-def linear_pk(params, thermo, k_hMpc, z_outputs):
+def linear_pk(params, thermo, k_hMpc, z_outputs, n_steps=None):
     """Linear P(k) [(Mpc/h)^3] at ``k_hMpc`` [h/Mpc] and each z, for both
-    total matter and cdm+baryons, from the native Boltzmann integration."""
+    total matter and cdm+baryons, from the native Boltzmann integration.
+    ``n_steps``: optional static budget, see :func:`steps_for_kmax`."""
     h = params['h']
     k = jnp.asarray(k_hMpc) * h  # 1/Mpc
-    tr = integrate_perturbations(params, thermo, k, z_outputs)
+    tr = integrate_perturbations(params, thermo, k, z_outputs, n_steps=n_steps)
     # primordial curvature spectrum (dimensionless transfers, R = 1),
     # with the alpha_s/beta_s runnings (Planck conventions, as
     # models/eisenstein_hu.py Primordial)

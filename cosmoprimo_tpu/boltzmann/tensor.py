@@ -56,8 +56,7 @@ import numpy as np
 from . import bessel
 from .harmonic import (DK_FINE, _hermite_gather, _trapz_weights,
                        coarse_k_grid, fine_k_grid, _spline_to_integers)
-from .perturbations import (M_TAB, TCA_TRIGGER, _fetch, build_tables,
-                            _thermo)
+from .perturbations import TCA_TRIGGER, _fetch, build_tables, _thermo
 from ..ops.spline import cubic_eval, linear_eval, natural_cubic_coeffs
 
 LMAX_T = 8     # photon tensor temperature tower FT_0..FT_LMAX_T
@@ -91,7 +90,7 @@ def tensor_time_grid(tabs, k):
     eta_ini = jnp.clip(0.03 / k[:, 0], tabs['eta_ini_min'], tabs['eta_rd'])
 
     def s_of(eta_q):
-        return jax.vmap(jnp.interp)(eta_q, jnp.broadcast_to(eta_m, (eta_q.shape[0], M_TAB)), s)
+        return jax.vmap(jnp.interp)(eta_q, jnp.broadcast_to(eta_m, (eta_q.shape[0], eta_m.shape[0])), s)
 
     s_ini = s_of(eta_ini)
     s_end = s_of(jnp.broadcast_to(eta0 * (1.0 + 1e-9), eta_ini.shape))

@@ -95,7 +95,7 @@ class NativeEngine(BaseEngine):
         """(k [h/Mpc], z, pk_m, pk_cb [(Mpc/h)^3], transfers) from the
         native Einstein-Boltzmann integration; computed once and cached."""
         if getattr(self, '_pk_tables', None) is None:
-            from ..boltzmann.perturbations import linear_pk
+            from ..boltzmann.perturbations import linear_pk, steps_for_kmax
             nk = int(self._extra_params.get('nk_pk', 256))
             kmax = float(self['kmax_pk'])
             k = jnp.asarray(np.geomspace(1e-4, kmax, nk))
@@ -103,7 +103,11 @@ class NativeEngine(BaseEngine):
             z = np.asarray(DEFAULT_Z_PK if z_pk is None else np.atleast_1d(z_pk), dtype=np.float64)
             z = np.unique(np.concatenate([z, [0.0]]))
             th = self.get_section('thermodynamics')._th
-            out = linear_pk(self._perturbation_params(), th, k, list(z))
+            # step budget tiered by the static kmax (kmax is in h/Mpc and
+            # h < 1, so it bounds kmax in 1/Mpc); extra_params can pin it
+            n_steps = self._extra_params.get('n_steps_pk', steps_for_kmax(kmax))
+            out = linear_pk(self._perturbation_params(), th, k, list(z),
+                            n_steps=n_steps)
             self._pk_tables = (k, jnp.asarray(z), out['pk_m'], out['pk_cb'], out['transfers'])
         return self._pk_tables
 
@@ -309,8 +313,10 @@ class Perturbations(BaseSection):
         k_h = np.atleast_1d(np.asarray(k_out, dtype=np.float64))
         h = float(self._engine['h'])
         th = self._engine.get_section('thermodynamics')._th
+        from ..boltzmann.perturbations import steps_for_kmax
         out = compute_perturbation_series(self._engine._perturbation_params(),
-                                          th, jnp.asarray(k_h * h))
+                                          th, jnp.asarray(k_h * h),
+                                          n_steps=steps_for_kmax(k_h.max()))
         tau = np.asarray(out['tau'])
         a = np.asarray(out['a'])
         series = np.asarray(out['series'])  # (nk, n_names, n_tau)

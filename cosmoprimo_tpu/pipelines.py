@@ -164,10 +164,11 @@ def make_native_pk_pipeline_batched(nk=256, kmax=1.0, z=(0.0, 1.0)):
     (/root/reference/cosmoprimo/classy.py); here it is one jitted XLA
     program that vmaps/shards over the cosmology batch.
     """
-    from .boltzmann.perturbations import linear_pk
+    from .boltzmann.perturbations import linear_pk, steps_for_kmax
     from .interpolator import kernel_tophat2
     from .ops import simpson
 
+    n_steps = steps_for_kmax(kmax)  # kmax in h/Mpc bounds kmax in 1/Mpc
     k_np = np.geomspace(1e-4, kmax, nk)
     k = jnp.asarray(k_np)
     z = list(np.atleast_1d(np.asarray(z, dtype=np.float64)))
@@ -179,7 +180,8 @@ def make_native_pk_pipeline_batched(nk=256, kmax=1.0, z=(0.0, 1.0)):
         cosmo = Cosmology(omega_cdm=omega_cdm, omega_b=omega_b, h=h, n_s=n_s,
                           logA=logA, engine='native')
         th = cosmo.get_thermodynamics().table
-        out = linear_pk(cosmo.engine._perturbation_params(), th, k, z)
+        out = linear_pk(cosmo.engine._perturbation_params(), th, k, z,
+                        n_steps=n_steps)
         pkz = out['pk_m']                                  # (nz, nk)
         sigma8 = jnp.sqrt(simpson(pkz[_iz0] * _w8, x=_lnk) / (2.0 * jnp.pi ** 2))
         return pkz, sigma8

@@ -147,18 +147,6 @@ def test_recipe_emulator_layout_read_by_reference(tmp_path):
             assert any('log10' in op for op in ops)
 
 
-def _reduce_native_solver(monkeypatch):
-    """Shrink the native Einstein-Boltzmann step counts so per-point CI
-    sampling stays tractable (the dryrun stage uses the same reduction;
-    accuracy is owned by tests/test_perturbations.py at full knobs)."""
-    from cosmoprimo_tpu.boltzmann import perturbations as P
-    # 1024 steps is RK4-unstable in the Thomson-drag release band at
-    # kmax = 1 h/Mpc (NaN); 2048 is stable across the omega_cdm box
-    monkeypatch.setattr(P, 'N_STEPS_A', 2048)
-    monkeypatch.setattr(P, 'N_STEPS_B', 768)
-    monkeypatch.setattr(P, 'M_TAB', 2048)
-
-
 @pytest.mark.slow
 def test_native_recipe_end_to_end(tmp_path):
     """native-base thermodynamics through the CLI: sample the in-repo
@@ -184,7 +172,7 @@ def test_native_recipe_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
-def test_native_fourier_emulator_round_trip(tmp_path, monkeypatch):
+def test_native_fourier_emulator_round_trip(tmp_path):
     """Train a small MLP on native linear P(k) over a narrow box, serve it
     through engine='emulated', and assert the served spectrum against the
     native truth at an off-grid parameter point (VERDICT r3 item 5 done
@@ -194,7 +182,8 @@ def test_native_fourier_emulator_round_trip(tmp_path, monkeypatch):
     from cosmoprimo_tpu.emulators import (Emulator, EmulatedEngine,
                                           MLPEmulatorEngine, get_calculator)
 
-    _reduce_native_solver(monkeypatch)
+    # the engine's kmax-tiered step budget (steps_for_kmax) keeps the
+    # per-point solves tractable at kmax_pk = 1 h/Mpc
     # z_pk must span the cosmopower serving schema (z <= 10 -- in fact
     # sqrt(10)**2 = 10 + 2e-15, so the table needs a little headroom;
     # emulated.py get_default_z_callable); k is covered by log-log
