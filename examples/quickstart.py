@@ -184,6 +184,22 @@ def main(argv=None):
 
     dchi = jax.jit(jax.jacfwd(distances))(0.12)
     print('d chi / d omega_cdm at z=2:', float(dchi[-1]), '(differentiable end to end)')
+
+    # ---- The native Einstein-Boltzmann engine -----------------------------
+    # No external C code: recombination, linear P(k), CMB spectra and
+    # per-k perturbation tables, all on device (the reference needs a
+    # CLASS/CAMB build for any of these). Small grids keep this quick.
+    nat = fiducial.DESI(engine='native', kmax_pk=0.5, z_pk=(0.0, 1.0),
+                        extra_params={'nk_pk': 32})
+    print('native rs_drag [Mpc/h]:', float(nat.get_thermodynamics().rs_drag))
+    pk_nat = nat.get_fourier().pk_interpolator()
+    print('native P(k=0.1, z=0):', float(pk_nat(0.1, 0.0)), '(Mpc/h)^3')
+
+    figure('native_pk.png', lambda plt: (
+        plt.loglog(np.geomspace(1e-3, 0.5, 128),
+                   np.asarray(pk_nat(np.geomspace(1e-3, 0.5, 128), 0.0))),
+        plt.xlabel(r'$k$ [$h$/Mpc]'), plt.ylabel(r'$P(k)$ [(Mpc/$h$)$^3$]'),
+        plt.title('native Einstein-Boltzmann linear $P(k)$')))
     print('quickstart: all sections ran.')
 
 
