@@ -247,15 +247,23 @@ def compute_thermodynamics(omega_b, h, T_cmb, efunc_of_z, YHe=None,
 
     x_e_rec = x_H_tab + x_He_e  # electrons per H, recombination only
 
-    # ---- reionization: CAMB-style tanh in y = (1+z)^{3/2}
-    x_e_full_ion = 1.0 + f_He  # He singly reionized with H (HeII at z~3.5 ignored)
+    # ---- reionization: CAMB-style tanh in y = (1+z)^{3/2} for H + HeII,
+    # plus helium SECOND reionization (HeII -> HeIII) as its own tanh at
+    # z = 3.5, width 0.5 - the CAMB/CLASS reio_camb defaults
+    # (helium_fullreio_redshift/width); it adds f_He electrons per H and
+    # Delta tau ~ 1e-3, which shapes the EE reionization bump at l ~ 10-40.
+    x_e_full_ion = 1.0 + f_He  # H + singly reionized He
+    HE2_Z, HE2_DZ = 3.5, 0.5
+
+    W_He2 = 0.5 * (1.0 + jnp.tanh((HE2_Z - z) / HE2_DZ))
 
     def x_e_with_reio(zre):
         y = (1.0 + z) ** 1.5
         y_re = (1.0 + zre) ** 1.5
         dy = 1.5 * jnp.sqrt(1.0 + zre) * reionization_width
         W = 0.5 * (1.0 + jnp.tanh((y_re - y) / dy))
-        return x_e_rec + jnp.maximum(x_e_full_ion - x_e_rec, 0.0) * W
+        return (x_e_rec + jnp.maximum(x_e_full_ion - x_e_rec, 0.0) * W
+                + f_He * W_He2)
 
     # trapezoid weights for integrals d(lna) on the uniform grid
     def _cum_from_today(integrand):

@@ -83,7 +83,7 @@ def test_thermodynamics_scalars(cosmo):
     assert 7.0 < float(th.z_reio) < 9.0
     # freeze-out and reionized electron fractions
     x0 = float(th.x_e(0.0))
-    assert 1.0 < x0 < 1.25  # 1 + f_He when He is singly reionized with H
+    assert 1.1 < x0 < 1.25  # 1 + 2 f_He: H + doubly reionized He today
     xrec = float(np.asarray(th.table.x_e_rec)[-1])
     assert 1.0e-4 < xrec < 3.5e-4
     # matter temperature: tracks T_gamma tightly before decoupling, then a^-2
