@@ -179,6 +179,59 @@ def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1
             'pp': out[:, 3], 'tp': out[:, 4], 'ep': out[:, 5]}
 
 
+def limber_pp(src, ells):
+    """Limber-approximated lensing-potential spectrum from the same LOS
+    Weyl source table:
+
+        C_l^pp = (2 pi^2 / nu^3) int dchi  chi P_R(nu/chi)
+                 [wlens(chi) T_weyl(k = nu/chi, chi)]^2,   nu = l + 1/2.
+
+    Replaces the exact projection at l >~ 400 where the exact path has two
+    systematic failure modes the TT/EE design never hits (their sources are
+    visibility-localized at recombination):
+
+    - the shared tau quadrature (geometric, ~1e3 nodes over the full line
+      of sight) ALIASES the j_l(k chi) oscillation along the broad lensing
+      kernel: measured +7-10% on C_l^pp at l = 500-1500 vs the archived
+      CLASS table;
+    - the TT-sized k grid truncates the low-chi (high-k = nu/chi) part of
+      the kernel: -24% at l = 2500.
+
+    Limber needs neither Bessel tables nor the fine k grid - only the
+    smooth source on the (dense) harvest grid, evaluated at k = nu/chi by
+    a cubic spline in k - so the k support can be extended with a cheap
+    log tail on the COARSE (hierarchy) grid alone (see compute_cls).
+    Limber error on the broad pp kernel is O(nu^-2) (LoVerde & Afshordi
+    2008): sub-percent for l >~ 300."""
+    k_c = src['k']
+    tau_h, eta0 = src['tau'], src['eta0']
+    chi = eta0 - tau_h
+    chi_star = eta0 - src['tau_star']
+    weyl = src['src'][:, 4, :]                               # (nk, n_h)
+    wlens = jnp.where((chi > 1e-4 * eta0) & (chi < chi_star),
+                      -2.0 * (chi_star - chi) / (chi_star * jnp.maximum(chi, 1e-12)), 0.0)
+    SP = weyl * wlens                                        # (nk, n_h)
+    M = natural_cubic_coeffs(k_c, SP)
+    ns, As, kp, *run = src['P_R_params']
+    alpha_s, beta_s = run if run else (0.0, 0.0)
+    w_tau = _trapz_weights(tau_h)                            # |dchi| weights
+    chi_s = jnp.maximum(chi, 1e-3)
+
+    def one_ell(ell):
+        nu = ell + 0.5
+        kq = nu / chi_s
+        Sq = jax.vmap(lambda f1, M1, x1: cubic_eval(k_c, f1, M1, x1[None])[0],
+                      in_axes=(1, 1, 0))(SP, M, kq)          # (n_h,)
+        lnkkp = jnp.log(kq / kp)
+        P_R = As * (kq / kp) ** (ns - 1.0 + 0.5 * alpha_s * lnkkp
+                                 + beta_s / 6.0 * lnkkp ** 2)
+        val = chi * P_R * Sq ** 2
+        val = jnp.where((kq <= k_c[-1]) & (kq >= k_c[0]), val, 0.0)
+        return (2.0 * jnp.pi ** 2 / nu ** 3) * jnp.sum(val * w_tau)
+
+    return jax.lax.map(one_ell, jnp.asarray(np.asarray(ells, dtype=np.float64)))
+
+
 def _spline_to_integers(ells, cl, lmax):
     """Cubic spline of D_l = l(l+1) C_l against ln l onto all integers
     2..lmax (sign-preserving: D_l is splined directly, not its log)."""
@@ -190,15 +243,28 @@ def _spline_to_integers(ells, cl, lmax):
     return Di / (ell_i * (ell_i + 1.0))
 
 
-def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None):
+LIMBER_PP_LO = 250    # pp: exact LOS below, Limber above, linear blend between
+LIMBER_PP_HI = 420
+
+
+def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None,
+                kmax_pp=None):
     """Unlensed scalar CMB spectra, natively integrated.
 
     Returns a dict of (lmax+1,) arrays ('tt','ee','bb','te','pp','tp','ep'),
     raw dimensionless C_l with the l = 0, 1 entries zero (CLASS raw_cl
     convention; multiply tt by (T_cmb 1e6)^2 for muK^2).
+
+    ``kmax`` bounds the TT/EE/TE projection (default 2.4 lmax / 13000, the
+    CLASS k_max_tau0_over_l_max heuristic); ``kmax_pp`` (default
+    max(kmax, lmax/2100)) extends the COARSE hierarchy grid with a 4%-log
+    tail feeding the Limber lensing-potential evaluation only - the fine
+    projection grid and Bessel tables stay sized by ``kmax``.
     """
     if kmax is None:
         kmax = max(0.12, 2.4 * lmax / 13000.0)
+    if kmax_pp is None:
+        kmax_pp = max(kmax, lmax / 2100.0)
     if ells is None:
         ells = bessel.default_ells(lmax)
     ells = np.asarray(ells)
@@ -206,7 +272,15 @@ def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None):
     # full step budget: the LOS source tap is per-step, so the harvested
     # acoustic sources through recombination lose fidelity at the reduced
     # (transfer-grade) tiers - measured as band failures in test_harmonic
-    k_c = jnp.asarray(coarse_k_grid(kmax))
+    k_main = coarse_k_grid(kmax)
+    n_main = len(k_main)
+    if kmax_pp > kmax * 1.001:
+        n_tail = max(2, int(np.ceil(np.log(kmax_pp / kmax) / 0.04)))
+        k_tail = kmax * np.exp(np.arange(1, n_tail + 1)
+                               * np.log(kmax_pp / kmax) / n_tail)
+        k_c = jnp.asarray(np.concatenate([k_main, k_tail]))
+    else:
+        k_c = jnp.asarray(k_main)
     src = compute_los_sources(params, thermo, k_c)
     src['P_R_params'] = (params['n_s'], params['A_s'], params['k_pivot'],
                          params.get('alpha_s', 0.0), params.get('beta_s', 0.0))
@@ -215,7 +289,17 @@ def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None):
     x_max = float(kmax) * 1.05 * 16000.0
     tables = bessel.bessel_tables(ells, x_max)
 
-    raw = project_sources(src, ells, tables, dtype=dtype)
+    # exact LOS projection on the main (TT-sized) k grid only
+    src_main = dict(src)
+    src_main['k'] = src['k'][:n_main]
+    src_main['src'] = src['src'][:n_main]
+    raw = project_sources(src_main, ells, tables, dtype=dtype)
+
+    # lensing potential: Limber at high l (see limber_pp)
+    pp_lim = limber_pp(src, ells)
+    w_lim = jnp.clip((jnp.asarray(ells, dtype=jnp.float64) - LIMBER_PP_LO)
+                     / (LIMBER_PP_HI - LIMBER_PP_LO), 0.0, 1.0)
+    raw['pp'] = (1.0 - w_lim) * raw['pp'] + w_lim * pp_lim.astype(raw['pp'].dtype)
 
     out = {}
     for name in ['tt', 'ee', 'te', 'pp', 'tp', 'ep']:

@@ -165,14 +165,22 @@ def build_tables(params, thermo, m_tab=None):
     om_ur = omega_ur / a ** 4
     om_c = omega_c / a ** 3
     om_b = omega_b / a ** 3
+    # spatial curvature: enters the expansion rate (om_k below) and the
+    # Einstein constraints through K = -omega_k (H0/c)^2 [Mpc^-2] (open
+    # Omega_k > 0 <-> K < 0); it is GEOMETRY, not a density, so it stays
+    # out of the source fractions f_i = rho_i / rho_tot
+    omega_kc = params.get('omega_k', 0.0)
+    K_curv = -omega_kc * (100.0 / _C_KMS) ** 2
     om_nc = jnp.where(has_ncdm, omega_nc0 * (I_rho / I_rho0) / a ** 4, 0.0)
     om_nc_p = jnp.where(has_ncdm, omega_nc0 * (I_p / I_rho0) / a ** 4, 0.0)
     w0, wa = params['w0_fld'], params['wa_fld']
-    omega_de0 = h ** 2 - omega_g - omega_ur - omega_c - omega_b - jnp.where(has_ncdm, omega_nc0, 0.0)
+    omega_de0 = (h ** 2 - omega_kc - omega_g - omega_ur - omega_c - omega_b
+                 - jnp.where(has_ncdm, omega_nc0, 0.0))
     om_de = omega_de0 * a ** (-3.0 * (1.0 + w0 + wa)) * jnp.exp(3.0 * wa * (a - 1.0))
-    om_tot = om_g + om_ur + om_c + om_b + om_nc + om_de
+    om_tot = om_g + om_ur + om_c + om_b + om_nc + om_de  # densities only
 
-    Hc = a * 100.0 * jnp.sqrt(om_tot) / _C_KMS  # conformal Hubble, 1/Mpc
+    # conformal Hubble, 1/Mpc; Hc^2 + K = (8 pi G / 3) a^2 rho_tot exactly
+    Hc = a * 100.0 * jnp.sqrt(om_tot + omega_kc / a ** 2) / _C_KMS
 
     # conformal time eta(ln a): d eta = d ln a / Hc; radiation-era start value
     deta = 1.0 / Hc
@@ -213,7 +221,7 @@ def build_tables(params, thermo, m_tab=None):
         'w_de': w0 + wa * (1.0 - res(jnp.exp(lna))),
         'I_rho_ratio': res(I_rho / I_rho0),
         'eta0': eta[-1], 'eta_ini_min': eta[0] * 1.05, 'am': am,
-        'wa_fld': wa, 'cs2_fld': params.get('cs2_fld', 1.0),
+        'wa_fld': wa, 'cs2_fld': params.get('cs2_fld', 1.0), 'K': K_curv,
         # latest allowed start: a = 1e-7, where the matter fraction is
         # ~3e-4. The MB95 adiabatic set assumes aH eta = 1 (pure RD);
         # starting at a = 1e-5 (matter ~3%) shifts the conserved comoving
@@ -255,6 +263,7 @@ def _fetch(tabs, eta):
     out = dict(zip(_STACK_NAMES, vals))
     out['wa_fld'] = tabs['wa_fld']      # scalars the DE fluid needs
     out['cs2_fld'] = tabs['cs2_fld']
+    out['K'] = tabs['K']                # spatial curvature [Mpc^-2]
     return out
 
 
@@ -315,9 +324,16 @@ def adiabatic_ics(tabs, k, eta_ini):
     c = _fetch(tabs, eta_ini)
     frad = c['fg'] + c['fur'] + c['fnc']
     Rnu = (c['fur'] + c['fnc']) / frad
+    # leading curvature corrections (dynamically K/Hc^2 ~ a^2 is negligible
+    # this early, but the K/k^2 geometry factors are time-independent):
+    # sigma_nu grows as F2' = (2/5) k s_2 F1 and the stress constraint
+    # carries (k^2 - 3K)(phi - psi); both reduce to MB95 when flat
+    s2 = _s_l(2, tabs['K'], k)
+    s2sq = 1.0 - 3.0 * jnp.minimum(tabs['K'] / k ** 2, _R_CLOSED_MAX)
+    r_str = s2 / s2sq
     C = 0.5
-    psi = 20.0 * C / (15.0 + 4.0 * Rnu)
-    phi = (1.0 + 2.0 / 5.0 * Rnu) * psi
+    psi = 20.0 * C / (15.0 + 4.0 * r_str * Rnu)
+    phi = (1.0 + 2.0 / 5.0 * r_str * Rnu) * psi
     dg = -2.0 * psi
     # the "eta" of the MB95 series is the RADIATION-ERA conformal time,
     # i.e. 1/(aH) - NOT the literal eta(a) of the real background. With
@@ -333,7 +349,7 @@ def adiabatic_ics(tabs, k, eta_ini):
     # anisotropic-stress constraint phi = (1 + 2 R_nu/5) psi. An
     # inconsistent sigma_nu here (e.g. the (phi+psi)/30 variant, 8% high)
     # seeds the same growing contamination.
-    sig_nu = (k * eta_rd_ic) ** 2 / 15.0 * psi
+    sig_nu = s2 * (k * eta_rd_ic) ** 2 / 15.0 * psi
 
     ns = tabs['am'].shape[0]
     y = jnp.zeros((_n_state(ns), k.shape[0]))
@@ -386,6 +402,42 @@ def _ncdm_moments(y, a, am):
     return delta, opw_theta_over_k, opw_sigma
 
 
+def _curv(c, k):
+    """Curvature helpers for the Einstein constraints (Hu & Eisenstein
+    1998 curved longitudinal-gauge equations; flat: K = 0, all three
+    reduce to the MB95 forms):
+
+    - ``G2 = Hc^2 + K = (8 pi G / 3) a^2 rho_tot`` - the gravitational
+      normalization (4 pi G a^2 rho_i = 1.5 G2 f_i);
+    - ``s2sq = 1 - 3K/k^2`` - the (k^2 - 3K)/k^2 factor of the comoving
+      Poisson equation and of the anisotropic-stress constraint
+      (k^2 - 3K)(phi - psi) = 12 pi G a^2 (rho+p) sigma;
+    - ``s_l(l) = sqrt(1 - (l^2-1) K/k^2)`` - the radial (hyperspherical)
+      coupling factors of the free-streaming hierarchies.
+
+    The curvature RATIO K/k^2 is saturated at _R_CLOSED_MAX for closed
+    models: modes at/below the curvature scale (k^2 <~ 3K) have no
+    discrete eigenmode, and letting the 1/s2sq stress amplifier grow
+    there turns the F2 <-> psi loop into a numerical instability
+    (measured: sigma8 ~ 1e10 for Omega_k = -0.05 with a loose clamp).
+    Saturating the ratio - consistently across s2sq and every s_l -
+    keeps those (never-served) lanes stable and bounded."""
+    K = c['K']
+    G2 = c['Hc'] ** 2 + K
+    s2sq = 1.0 - 3.0 * jnp.minimum(K / k ** 2, _R_CLOSED_MAX)
+    return K, G2, s2sq
+
+
+_R_CLOSED_MAX = 0.2  # bound on K/k^2 (closed); open (K < 0) is unclamped
+
+
+def _s_l(l, K, k):
+    """sqrt(1 - (l^2 - 1) K / k^2), the curved hierarchy coupling; zero
+    (tower decoupled) where closed-space geometry cuts the multipole off."""
+    r = jnp.minimum(K / k ** 2, _R_CLOSED_MAX)
+    return jnp.sqrt(jnp.maximum(1.0 - (l * l - 1.0) * r, 0.0))
+
+
 def _metric(y, k, eta, c, am):
     """psi and phi' from the constraints (shared by deriv_full and the
     post-step RSA projection).
@@ -413,16 +465,17 @@ def _metric(y, k, eta, c, am):
     ur_rsa = (k * eta) > RSA_KETA
 
     nc_delta, nc_opw_th_k, nc_opw_sig = _ncdm_moments(y, a, am)
-    H2k2 = Hc ** 2 / k ** 2
+    _, G2, s2sq = _curv(c, k)
+    G2k2 = G2 / k ** 2
     Fg2_metric = jnp.where(tca, 0.0, y[_I_FG])
     Fur2_metric = jnp.where(ur_rsa, 0.0, Fur[2])
     stress = (2.0 / 3.0) * (fg * Fg2_metric + fur * Fur2_metric) + fnc * nc_opw_sig
-    psi = phi - 4.5 * H2k2 * stress
+    psi = phi - 4.5 * (G2k2 / s2sq) * stress
     tur_full = 0.75 * k * Fur[1]
     Stheta_other = (fc * tc + fb * tb + (4.0 / 3.0) * fg * tg + fnc * k * nc_opw_th_k
                     + c['fde'] * (1.0 + c['w_de']) * y[_I_TDE])
-    num = -Hc * psi + 1.5 * H2k2 * (Stheta_other + jnp.where(ur_rsa, 0.0, (4.0 / 3.0) * fur * tur_full))
-    phip = jnp.where(ur_rsa, num / (1.0 - 6.0 * H2k2 * fur), num)
+    num = -Hc * psi + 1.5 * G2k2 * (Stheta_other + jnp.where(ur_rsa, 0.0, (4.0 / 3.0) * fur * tur_full))
+    phip = jnp.where(ur_rsa, num / (1.0 - 6.0 * G2k2 * fur), num)
     tur = jnp.where(ur_rsa, 3.0 * phip, tur_full)
     return psi, phip, tur, tca, ur_rsa
 
@@ -441,7 +494,9 @@ def deriv_full(y, k, eta, c, am):
     Fur = y[_I_UR:_I_UR + (LMAX_UR + 1)]
 
     psi, phip, tur, tca, ur_rsa = _metric(y, k, eta, c, am)
-    Fg2 = jnp.where(tca, (32.0 / 45.0) * tg / kp, Fg[0])
+    K = c['K']
+    s2 = _s_l(2, K, k)   # l = 1 <-> 2 radial coupling (1 when flat)
+    Fg2 = jnp.where(tca, s2 * (32.0 / 45.0) * tg / kp, Fg[0])
     sig_g = 0.5 * Fg2
 
     k2psi = k ** 2 * psi
@@ -476,21 +531,24 @@ def deriv_full(y, k, eta, c, am):
     # (V = (theta_b + R theta_g)/(1+R) is drag-invariant; the slip relaxes
     # to its quasi-steady value on e^{-kappa'(1+R) deta}).
     dtb_full = -Hc * tb + cb2 * k ** 2 * db + k2psi
-    dtg_full = k ** 2 * (0.25 * dg - sig_g) + k2psi
+    dtg_full = k ** 2 * (0.25 * dg - s2 * sig_g) + k2psi
     # first-order tight coupling: MB95 eq 74-75
     wtot = (fg + fur) / 3.0 + c['w_nc'] * fnc + c['w_de'] * c['fde']
-    aH2_over_a = 0.5 * Hc ** 2 * (1.0 - 3.0 * wtot)          # a''/a = H' + H^2
+    # a''/a = Hc' + Hc^2, with Hc' = -0.5 (Hc^2 + K)(1 + 3 wtot)
+    aH2_over_a = Hc ** 2 - 0.5 * (Hc ** 2 + K) * (1.0 + 3.0 * wtot)
     slip = ((2.0 * R / (1.0 + R)) * Hc * (tb - tg)
             + (R / (kp * (1.0 + R))) * (-aH2_over_a * tb
                                         - Hc * k ** 2 * (0.5 * dg + psi)
                                         + k ** 2 * (cb2 * ddb - 0.25 * ddg)))
-    dtb_tca = (-Hc * tb + cb2 * k ** 2 * db + R * k ** 2 * (0.25 * dg - sig_g)
+    dtb_tca = (-Hc * tb + cb2 * k ** 2 * db + R * k ** 2 * (0.25 * dg - s2 * sig_g)
                + (1.0 + R) * k2psi + R * slip) / (1.0 + R)
     dtg_tca = dtb_tca - slip
     dtb = jnp.where(tca, dtb_tca, dtb_full)
     dtg = jnp.where(tca, dtg_tca, dtg_full)
 
-    # --- photon hierarchy l >= 2 (full branch; TCA overwrites after step)
+    # --- photon hierarchy l >= 2 (full branch; TCA overwrites after step);
+    # curved couplings: l F_{l-1} -> l s_l F_{l-1}, (l+1) F_{l+1} ->
+    # (l+1) s_{l+1} F_{l+1} (CLASS's non-flat hierarchy, s_l = 1 when flat)
     PI = Fg2 + G[0] + G[2]
     F1 = 4.0 * tg / (3.0 * k)
     Fg_all = jnp.concatenate([F1[None], Fg], axis=0)  # Fg_all[i] = F_{i+1}
@@ -503,18 +561,22 @@ def deriv_full(y, k, eta, c, am):
             scat = -kp * (0.9 * Fg_all[1] - 0.1 * (G[0] + G[2]))
         else:
             scat = -kp * Fg_all[l - 1]
-        d = k / (2.0 * l + 1.0) * (l * Fm - (l + 1.0) * Fp) + scat
+        d = k / (2.0 * l + 1.0) * (l * _s_l(l, K, k) * Fm
+                                   - (l + 1.0) * _s_l(l + 1, K, k) * Fp) + scat
         dFg.append(d)
     dFg = jnp.stack(dFg)
 
-    # polarization
+    # polarization (curved spin-2 couplings approximated by the scalar s_l
+    # factors: the difference is O(K/k^2) on a term that only feeds back
+    # into P(k) through Silk damping; Cls are served for flat models only)
     dG = []
     for l in range(0, LMAX_POL + 1):
         Gm = G[l - 1] if l > 0 else jnp.zeros_like(G[0])
         Gp = G[l + 1] if l < LMAX_POL else (
             ((2.0 * LMAX_POL + 1.0) / (k * eta)) * G[LMAX_POL] - G[LMAX_POL - 1])
         src = 0.5 * PI if l == 0 else (0.1 * PI if l == 2 else 0.0)
-        d = k / (2.0 * l + 1.0) * (l * Gm - (l + 1.0) * Gp) + kp * (-G[l] + src)
+        d = k / (2.0 * l + 1.0) * (l * _s_l(l, K, k) * Gm
+                                   - (l + 1.0) * _s_l(l + 1, K, k) * Gp) + kp * (-G[l] + src)
         dG.append(d)
     dG = jnp.stack(dG)
 
@@ -524,11 +586,12 @@ def deriv_full(y, k, eta, c, am):
         if l == 0:
             d = -k * Fur[1] + 4.0 * phip
         elif l == 1:
-            d = k / 3.0 * (Fur[0] - 2.0 * Fur[2]) + (4.0 / 3.0) * k * psi
+            d = k / 3.0 * (Fur[0] - 2.0 * s2 * Fur[2]) + (4.0 / 3.0) * k * psi
         else:
             Fp = Fur[l + 1] if l < LMAX_UR else (
                 ((2.0 * LMAX_UR + 1.0) / (k * eta)) * Fur[LMAX_UR] - Fur[LMAX_UR - 1])
-            d = k / (2.0 * l + 1.0) * (l * Fur[l - 1] - (l + 1.0) * Fp)
+            d = k / (2.0 * l + 1.0) * (l * _s_l(l, K, k) * Fur[l - 1]
+                                       - (l + 1.0) * _s_l(l + 1, K, k) * Fp)
         dUr.append(d)
     # frozen under RSA; the post-step projection holds the algebraic values
     dUr = jnp.where(ur_rsa, 0.0, jnp.stack(dUr))
@@ -546,12 +609,13 @@ def deriv_full(y, k, eta, c, am):
                 if l == 0:
                     d = -qe * psi_nc[s, j, 1] - phip * dlnf0[j]
                 elif l == 1:
-                    d = qe / 3.0 * (psi_nc[s, j, 0] - 2.0 * psi_nc[s, j, 2]) - (eps[j] * k / (3.0 * q[j])) * psi * dlnf0[j]
+                    d = qe / 3.0 * (psi_nc[s, j, 0] - 2.0 * s2 * psi_nc[s, j, 2]) - (eps[j] * k / (3.0 * q[j])) * psi * dlnf0[j]
                 else:
                     Pp = psi_nc[s, j, l + 1] if l < LMAX_NCDM else (
                         ((2.0 * LMAX_NCDM + 1.0) * eps[j] / (q[j] * k * eta)) * psi_nc[s, j, LMAX_NCDM]
                         - psi_nc[s, j, LMAX_NCDM - 1])
-                    d = qe / (2.0 * l + 1.0) * (l * psi_nc[s, j, l - 1] - (l + 1.0) * Pp)
+                    d = qe / (2.0 * l + 1.0) * (l * _s_l(l, K, k) * psi_nc[s, j, l - 1]
+                                                - (l + 1.0) * _s_l(l + 1, K, k) * Pp)
                 dNc.append(d)
     dNc = jnp.stack(dNc)
 
@@ -637,7 +701,9 @@ def _poisson_project(y, k, eta, c, am):
     Stheta = (fc * y[_I_TC] + fb * y[_I_TB] + (4.0 / 3.0) * (fg * y[_I_TG] + fur * tur)
               + fde * (1.0 + w_de) * y[_I_TDE]
               + fnc * k * nc_opw_th_k)
-    phi_p = -1.5 * (Hc / k) ** 2 * (Delta + 3.0 * Hc / k ** 2 * Stheta)
+    # curved comoving Poisson: (k^2 - 3K) phi = -1.5 (Hc^2 + K) [Delta + ...]
+    _, G2, s2sq = _curv(c, k)
+    phi_p = -1.5 * (G2 / (k ** 2 * s2sq)) * (Delta + 3.0 * Hc / k ** 2 * Stheta)
     return y.at[_I_PHI].set(jnp.where(k > POISSON_KAH * Hc, phi_p, y[_I_PHI]))
 
 
@@ -652,12 +718,13 @@ def _tca_project(y, k, c):
     kp, Hc = c['kp'], c['Hc']
     tca = (kp > TCA_TRIGGER * Hc) & (kp > TCA_TRIGGER * k)
     R = (4.0 / 3.0) * c['fg'] / c['fb']
-    sig_g = 0.5 * (32.0 / 45.0) * y[_I_TG] / kp
+    s2 = _s_l(2, c['K'], k)
+    sig_g = 0.5 * s2 * (32.0 / 45.0) * y[_I_TG] / kp
     D = (-Hc * y[_I_TB] + c['cb2'] * k ** 2 * y[_I_DB]
-         - k ** 2 * (0.25 * y[_I_DG] - sig_g))
+         - k ** 2 * (0.25 * y[_I_DG] - s2 * sig_g))
     S_qss = D / (kp * (1.0 + R))
     y = y.at[_I_TG].set(jnp.where(tca, y[_I_TB] - S_qss, y[_I_TG]))
-    Fg2 = (32.0 / 45.0) * y[_I_TG] / kp
+    Fg2 = s2 * (32.0 / 45.0) * y[_I_TG] / kp
     y = y.at[_I_FG].set(jnp.where(tca, Fg2, y[_I_FG]))
     y = y.at[_I_GP + 0].set(jnp.where(tca, 1.25 * Fg2, y[_I_GP + 0]))
     y = y.at[_I_GP + 2].set(jnp.where(tca, 0.25 * Fg2, y[_I_GP + 2]))
@@ -675,11 +742,12 @@ def _rsa_metric(yB, k, c):
     fg, fur, fc, fb, fnc = c['fg'], c['fur'], c['fc'], c['fb'], c['fnc']
     w = c['w_nc']
     phi, dc, tc, db, tb, dn, tn, sn, dde, tde = yB
-    H2k2 = Hc ** 2 / k ** 2
-    psi = phi - 4.5 * H2k2 * fnc * (1.0 + w) * sn
-    src = -Hc * psi + 1.5 * H2k2 * (fc * tc + fb * tb + fnc * (1.0 + w) * tn
+    _, G2, s2sq = _curv(c, k)
+    G2k2 = G2 / k ** 2
+    psi = phi - 4.5 * (G2k2 / s2sq) * fnc * (1.0 + w) * sn
+    src = -Hc * psi + 1.5 * G2k2 * (fc * tc + fb * tb + fnc * (1.0 + w) * tn
                                     + c['fde'] * (1.0 + c['w_de']) * tde)
-    phip = src / (1.0 - 6.0 * H2k2 * (fg + fur))
+    phip = src / (1.0 - 6.0 * G2k2 * (fg + fur))
     return psi, phip
 
 
@@ -723,8 +791,9 @@ def deriv_rsa(yB, k, eta, c, am):
     R = (4.0 / 3.0) * fg / fb
     dtb = -Hc * tb + cb2 * k ** 2 * db + k2psi + kp * R * (tg - tb)
     ddn = -(1.0 + w) * (tn - 3.0 * phip) - 3.0 * Hc * (cg2 - w) * dn
-    dtn = -Hc * (1.0 - 3.0 * cg2) * tn + (cg2 / (1.0 + w)) * k ** 2 * dn + k2psi - k ** 2 * sn
-    dsn = -3.0 * Hc * sn + (16.0 / 15.0) * (cg2 / (1.0 + w)) * tn
+    dtn = (-Hc * (1.0 - 3.0 * cg2) * tn + (cg2 / (1.0 + w)) * k ** 2 * dn + k2psi
+           - k ** 2 * _s_l(2, c['K'], k) * sn)
+    dsn = -3.0 * Hc * sn + _s_l(2, c['K'], k) * (16.0 / 15.0) * (cg2 / (1.0 + w)) * tn
     # dark-energy fluid (same regularized form as deriv_full)
     a_c = jnp.exp(c['lna'])
     opw_cs2_m_ca2 = cs2 * opw_de - (w_de * opw_de + c['wa_fld'] * a_c / 3.0)
@@ -860,7 +929,8 @@ def integrate_perturbations(params, thermo, k, z_outputs, n_steps=None):
         dnA, opwtA, opwsA = _ncdm_moments(yAz, a_out, am)
         opw = 1.0 + c['w_nc']
         # phase-B radiation (streaming): delta = -4 psi
-        psiB = yBz[0] - 4.5 * (c['Hc'] ** 2 / k ** 2) * c['fnc'] * opw * yBz[7]
+        _, G2z, s2sqz = _curv(c, k)
+        psiB = yBz[0] - 4.5 * (G2z / (k ** 2 * s2sqz)) * c['fnc'] * opw * yBz[7]
         sel = use_A[iz]
 
         phi = jnp.where(sel, yAz[_I_PHI], yBz[0])
@@ -952,7 +1022,8 @@ def _los_emitters(tabs, k, am):
 
     def psiB(y, eta):
         c = _fetch(tabs, eta)
-        return y[0] - 4.5 * (c['Hc'] / k) ** 2 * c['fnc'] * (1.0 + c['w_nc']) * y[7]
+        _, G2b, s2sqb = _curv(c, k)
+        return y[0] - 4.5 * (G2b / (k ** 2 * s2sqb)) * c['fnc'] * (1.0 + c['w_nc']) * y[7]
 
     def emitB(y, e1, c1):
         # radiation streaming: Theta_0 + psi = 0 and Pi = 0 by construction
@@ -1056,7 +1127,8 @@ def compute_perturbation_series(params, thermo, k, z_nodes=None, n_steps=None):
                           y[_I_DDE], y[_I_TDE], y[_I_PHI], psi])
 
     def emitB(y, e1, c1):
-        psi = y[0] - 4.5 * (c1['Hc'] / k) ** 2 * c1['fnc'] * (1.0 + c1['w_nc']) * y[7]
+        _, G2b, s2sqb = _curv(c1, k)
+        psi = y[0] - 4.5 * (G2b / (k ** 2 * s2sqb)) * c1['fnc'] * (1.0 + c1['w_nc']) * y[7]
         ydot = deriv_rsa(y, k, e1, c1, am)
         tg = 3.0 * ydot[0]
         zero = jnp.zeros_like(psi)

@@ -25,8 +25,13 @@ surface) - the full seven-section surface. The massive-neutrino sector
 carries one exact momentum hierarchy per species (normal/inverted/
 degenerate splits are solved per-mass, not combined); w0/wa dark energy
 carries CLP fluid perturbations (rest-frame cs2_fld, regularized across
-w = -1 - CLASS 'fld' with use_ppf=no). Limitation (documented, raises):
-flat cosmologies only.
+w = -1 - CLASS 'fld' with use_ppf=no). Spatial curvature is supported
+through the whole background/transfer/P(k) path (Hu & Eisenstein 1998
+curved longitudinal-gauge constraints + hyperspherical hierarchy
+couplings, boltzmann/perturbations.py _curv); the one remaining
+limitation (documented, raises) is the CMB Harmonic section, which
+requires flat geometry (hyperspherical radial projection not
+implemented).
 """
 
 import numpy as np
@@ -54,24 +59,18 @@ class NativeEngine(BaseEngine):
     def __init__(self, cosmo, **extra_params):
         super().__init__(cosmo, **extra_params)
         self._A_s = self._get_A_s_fid()
-        import jax
-        try:
-            curved = abs(float(self['Omega_k'])) > 1e-10
-        except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
-            # Omega_k is a tracer (engine built inside jit/vmap): the
-            # flatness contract is enforced on concrete inputs only.
-            curved = False
-        if curved:
-            raise CosmologyInputError('The native Boltzmann engine supports flat cosmologies only.')
 
     def _perturbation_params(self):
         """Plain parameter dict for boltzmann.perturbations. The full
         per-species neutrino mass spectrum is passed through (each species
         carries its own momentum hierarchy in the solver); all species
-        share the standard T_ncdm."""
+        share the standard T_ncdm. Spatial curvature (omega_k) enters the
+        solver's background and Einstein constraints (boltzmann/
+        perturbations.py _curv); the CMB Harmonic section alone stays
+        flat-only (hyperspherical radial projection not implemented)."""
         p = {n: self[n] for n in ['omega_b', 'omega_cdm', 'h', 'T_cmb', 'N_ur',
                                   'w0_fld', 'wa_fld', 'n_s', 'k_pivot',
-                                  'alpha_s', 'beta_s']}
+                                  'alpha_s', 'beta_s', 'omega_k']}
         p['A_s'] = self._A_s
         import jax
         m = jnp.atleast_1d(jnp.asarray(self['m_ncdm']))
@@ -98,7 +97,22 @@ class NativeEngine(BaseEngine):
             from ..boltzmann.perturbations import linear_pk, steps_for_kmax
             nk = int(self._extra_params.get('nk_pk', 256))
             kmax = float(self['kmax_pk'])
-            k = jnp.asarray(np.geomspace(1e-4, kmax, nk))
+            kmin = 1e-4
+            import jax
+            try:
+                h = float(self['h'])
+                omega_k = float(self['Omega_k']) * h ** 2
+                if omega_k < 0.0:
+                    # closed: keep the static grid above the curvature
+                    # scale - modes with k^2 <~ 3K have no discrete
+                    # eigenmode and their (saturated-ratio) lanes would
+                    # poison the interpolator's low-k log-extrapolation
+                    from .. import constants
+                    K = -omega_k * (100.0 / (constants.c / 1e3)) ** 2
+                    kmin = max(kmin, 3.2 * np.sqrt(3.0 * K) / h)
+            except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+                pass  # traced params: flat-grid contract (documented)
+            k = jnp.asarray(np.geomspace(kmin, kmax, nk))
             z_pk = self['z_pk']
             z = np.asarray(DEFAULT_Z_PK if z_pk is None else np.atleast_1d(z_pk), dtype=np.float64)
             z = np.unique(np.concatenate([z, [0.0]]))
@@ -133,7 +147,8 @@ class NativeEngine(BaseEngine):
             # k ~ l / 3400 — well above l / chi_star (see test_harmonic).
             kmax = self._extra_params.get('kmax_cl', None)
             unl = harmonic.compute_cls(self._perturbation_params(), th,
-                                       lmax=lmax + margin, kmax=kmax)
+                                       lmax=lmax + margin, kmax=kmax,
+                                       kmax_pp=self._extra_params.get('kmax_pp', None))
             import jax
             try:
                 has_tensors = float(self['r']) > 0.0
@@ -365,6 +380,16 @@ class Harmonic(BaseSection):
     def __init__(self, engine):
         super().__init__(engine)
         self._engine = engine
+        import jax
+        try:
+            curved = abs(float(engine['Omega_k'])) > 1e-10
+        except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+            curved = False  # tracers: enforced on concrete inputs only
+        if curved:
+            raise CosmologyInputError(
+                'native CMB Cls require a flat geometry (hyperspherical radial '
+                'functions not implemented); Transfer/Fourier/Perturbations do '
+                'support Omega_k != 0.')
         self._rsigma8 = engine._rescale_sigma8()
         self.ellmax_cl = engine['ellmax_cl']
 

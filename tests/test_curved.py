@@ -1,0 +1,87 @@
+"""Non-flat geometries through the native Boltzmann engine.
+
+The reference only reaches curved linear P(k) through an external CLASS
+build (its analytic engines carry curved BACKGROUNDS only:
+/root/reference/cosmoprimo/cosmology.py Omega_k handling); no curved
+truth table ships in-image. Validation therefore uses structurally
+independent anchors:
+
+- flat continuity (Omega_k -> 0 reproduces the flat solve);
+- the background growth-factor ODE (cosmology.py _growth_tables: Magnus
+  2x2 propagators on Omega_m(z)/Omega_k(z)/Omega_de(z), a completely
+  separate code path from the Boltzmann hierarchy) against the solver's
+  sub-horizon P(k, z) ratios, for open and closed models;
+- curved background distances are already parity-tested against the
+  reference library (test_reference_parity).
+"""
+
+import numpy as np
+import pytest
+
+from cosmoprimo_tpu import Cosmology, CosmologyInputError
+from cosmoprimo_tpu.fiducial import DESI
+
+# smallest stable step tier (kmax <= 0.9/Mpc) keeps CI tractable
+KW = dict(engine='native', kmax_pk=0.6, extra_params={'nk_pk': 48})
+K_GRID = np.geomspace(1e-3, 0.5, 24)
+
+
+@pytest.fixture(scope='module')
+def flat_pk():
+    cosmo = DESI(**KW)
+    return np.asarray(cosmo.get_fourier().pk_interpolator()(K_GRID, z=0.0))
+
+
+@pytest.mark.slow
+def test_flat_continuity(flat_pk):
+    # Omega_k = 0 passed explicitly is bit-exact with the flat default;
+    # an infinitesimal Omega_k only moves binary branch thresholds
+    # (TCA/Poisson-pin/RSA switches) by a ULP, bounded at the few-1e-4
+    # level (scripts/dev_curved.py measured 4e-4 at Omega_k = 1e-9,
+    # NON-monotone in Omega_k - branch noise, not amplification)
+    pk0 = np.asarray(DESI(Omega_k=0.0, **KW).get_fourier().pk_interpolator()(K_GRID, z=0.0))
+    np.testing.assert_allclose(pk0, flat_pk, rtol=1e-12)
+    pk_eps = np.asarray(DESI(Omega_k=1e-9, **KW).get_fourier().pk_interpolator()(K_GRID, z=0.0))
+    np.testing.assert_allclose(pk_eps, flat_pk, rtol=2e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('Omega_k', [0.05, -0.05, 0.1])
+def test_curved_growth_vs_background_ode(Omega_k):
+    """P(k, z=1)/P(k, z=0) at sub-horizon k (where radiation/neutrino
+    scale dependence is < 0.5%) must match the independent background
+    growth ODE for open and closed models."""
+    cosmo = DESI(Omega_k=Omega_k, **KW)
+    fo = cosmo.get_fourier()
+    pk0 = np.asarray(fo.pk_interpolator()(K_GRID, z=0.0))
+    pk1 = np.asarray(fo.pk_interpolator()(K_GRID, z=1.0))
+    D_ode = float(np.asarray(cosmo.get_background().growth_factor(1.0)))
+    ksub = (K_GRID > 0.05) & (K_GRID < 0.3)
+    D_solver = np.sqrt(pk1 / pk0)[ksub]
+    # scale-independence of the ratio on the sub-horizon window
+    assert D_solver.std() / D_solver.mean() < 5e-3
+    assert abs(D_solver.mean() / D_ode - 1.0) < 1e-2, (D_solver.mean(), D_ode)
+
+
+@pytest.mark.slow
+def test_curved_pk_shape_is_sane():
+    """Open/closed P(k) bracket the flat one in amplitude at fixed As
+    (less/more growth), and sigma8 responds monotonically to Omega_k."""
+    s8 = {}
+    for ok in (-0.05, 0.0, 0.05):
+        cosmo = DESI(Omega_k=ok, **KW) if ok else DESI(**KW)
+        s8[ok] = float(np.asarray(cosmo.get_fourier().sigma8_m))
+        assert np.isfinite(s8[ok]) and 0.3 < s8[ok] < 1.5
+    assert s8[-0.05] != s8[0.0] != s8[0.05]
+    # monotone in Omega_k at fixed (omega_b, omega_cdm, H0, As)
+    assert (s8[-0.05] - s8[0.0]) * (s8[0.0] - s8[0.05]) > 0
+
+
+@pytest.mark.slow
+def test_curved_harmonic_raises():
+    cosmo = DESI(Omega_k=0.05, **KW)
+    with pytest.raises(CosmologyInputError):
+        cosmo.get_harmonic()
+    # but Transfer and Perturbations sections are served
+    tr = cosmo.get_transfer().table(z=0.0)
+    assert np.all(np.isfinite(np.asarray(tr['d_cdm'])))
