@@ -34,7 +34,7 @@ import numpy as np
 
 from ..ops.spline import cubic_eval, linear_eval, natural_cubic_coeffs
 from . import bessel
-from .perturbations import compute_los_sources
+from .perturbations import _C_KMS, compute_los_sources
 
 N_REC = 512           # leading tau-harvest nodes spanning z in [1690, 500]
 N_QUAD_LATE = 1152    # geometric tau-quadrature nodes after recombination
@@ -44,19 +44,46 @@ KMIN = 3e-5           # 1/Mpc
 K_LOG_SWITCH = 0.012  # below: 2%-log spacing, above: uniform DK
 
 
-def coarse_k_grid(kmax, n_log=56, dk=DK_COARSE):
+def coarse_k_grid(kmax, n_log=56, dk=DK_COARSE, kmin=KMIN):
     """Static k grid the Boltzmann hierarchy is integrated on [1/Mpc]."""
     n_lin = max(2, int(np.ceil((kmax - K_LOG_SWITCH) / dk)) + 1)
-    return np.concatenate([np.geomspace(KMIN, K_LOG_SWITCH, n_log, endpoint=False),
+    return np.concatenate([np.geomspace(kmin, K_LOG_SWITCH, n_log, endpoint=False),
                            np.linspace(K_LOG_SWITCH, kmax, n_lin)])
 
 
-def fine_k_grid(kmax, dk=DK_FINE, rel_log=0.02):
+def fine_k_grid(kmax, dk=DK_FINE, rel_log=0.02, kmin=KMIN):
     """Static k grid the line-of-sight integral is evaluated on [1/Mpc]."""
-    n_log = max(2, int(np.ceil(np.log(K_LOG_SWITCH / KMIN) / rel_log)))
+    n_log = max(2, int(np.ceil(np.log(K_LOG_SWITCH / kmin) / rel_log)))
     n_lin = max(2, int(np.ceil((kmax - K_LOG_SWITCH) / dk)) + 1)
-    return np.concatenate([np.geomspace(KMIN, K_LOG_SWITCH, n_log, endpoint=False),
+    return np.concatenate([np.geomspace(kmin, K_LOG_SWITCH, n_log, endpoint=False),
                            np.linspace(K_LOG_SWITCH, kmax, n_lin)])
+
+
+def sin_K(chi, K):
+    """Comoving angular-diameter distance S_K(chi) [Mpc]; ``K`` [1/Mpc^2]
+    is a static Python float (open K < 0, closed K > 0)."""
+    if K > 0.0:
+        s = np.sqrt(K)
+        return jnp.sin(s * chi) / s
+    if K < 0.0:
+        s = np.sqrt(-K)
+        return jnp.sinh(s * chi) / s
+    return chi
+
+
+def cl_kmin(K, kmin=KMIN):
+    """Smallest propagating wavenumber kept on the Cl grids [1/Mpc].
+
+    Open (K < 0): modes with k^2 <= -K are supercurvature — the radial
+    eigenvalue q^2 = k^2 + K turns negative — so the grid starts just above
+    the curvature scale. Closed (K > 0): the scalar eigenmodes are discrete,
+    q = nu sqrt(K) with integer nu >= 3, i.e. k^2 >= 8 K; the continuum
+    quadrature (standard for |Omega_k| <~ 0.1) starts at the first one."""
+    if K < 0.0:
+        return max(kmin, 1.05 * np.sqrt(-K))
+    if K > 0.0:
+        return max(kmin, np.sqrt(8.0 * K))
+    return kmin
 
 
 def _trapz_weights(x):
@@ -89,7 +116,8 @@ def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1
     """
     k_c = src['k']
     kmax = float(k_c[-1])
-    k_f = jnp.asarray(fine_k_grid(kmax, dk=dk_fine))
+    K = float(src.get('K', 0.0))
+    k_f = jnp.asarray(fine_k_grid(kmax, dk=dk_fine, kmin=cl_kmin(K)))
     tau_h, eta0 = src['tau'], src['eta0']
     g, emk = src['g'], src['emk']
 
@@ -108,8 +136,11 @@ def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1
     ST2 = w_pol * 0.75 * g * pol
     chi_star = eta0 - src['tau_star']
     chi_h = eta0 - tau_h
+    # lensing efficiency; with curvature the exact kernel replaces every
+    # comoving distance by the geodesic-deviation distance S_K
     wlens = jnp.where((chi_h > 1e-4 * eta0) & (chi_h < chi_star),
-                      -2.0 * (chi_star - chi_h) / (chi_star * jnp.maximum(chi_h, 1e-12)), 0.0)
+                      -2.0 * sin_K(chi_star - chi_h, K)
+                      / (sin_K(chi_star, K) * jnp.maximum(sin_K(chi_h, K), 1e-12)), 0.0)
     SP = weyl * wlens
 
     S = jnp.stack([ST0, ST1, ST2, SP], axis=1)            # (nk_c, 4, n_h)
@@ -133,7 +164,17 @@ def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1
     jp_tab_raw = jnp.asarray(jp_tab, dtype=rdtype)
 
     chi_q = (eta0 - tau_q).astype(rdtype)
-    x = k_f.astype(rdtype)[:, None] * chi_q[None, :]        # (nK, n_q)
+    # radial projection argument. Flat: x = k chi. Curved: the hyperspherical
+    # radial functions Phi_l^nu(chi) (nu = q / sqrt|K|, q^2 = k^2 + K for
+    # scalars) are approximated by j_l(q S_K(chi)) — the geodesic mapping
+    # that places the WKB turning point q S_K(chi) ~ l + 1/2 at the exact
+    # angular scale. Error is O(K / q^2) per mode (certified against the
+    # exact recursion oracle in tests/test_curved_harmonic.py); the dominant
+    # curvature effect — the angular-diameter remapping of the acoustic
+    # scale — is captured exactly.
+    q_f = jnp.sqrt(jnp.maximum(k_f.astype(rdtype) ** 2 + rdtype.type(K),
+                               rdtype.type(0.0)))
+    x = q_f[:, None] * sin_K(chi_q, K)[None, :].astype(rdtype)   # (nK, n_q)
     u = x / rdtype.type(dx)
     w_q = _trapz_weights(tau_q).astype(rdtype)
 
@@ -204,28 +245,36 @@ def limber_pp(src, ells):
     Limber error on the broad pp kernel is O(nu^-2) (LoVerde & Afshordi
     2008): sub-percent for l >~ 300."""
     k_c = src['k']
+    K = float(src.get('K', 0.0))
     tau_h, eta0 = src['tau'], src['eta0']
     chi = eta0 - tau_h
+    sk = sin_K(chi, K)
     chi_star = eta0 - src['tau_star']
     weyl = src['src'][:, 4, :]                               # (nk, n_h)
     wlens = jnp.where((chi > 1e-4 * eta0) & (chi < chi_star),
-                      -2.0 * (chi_star - chi) / (chi_star * jnp.maximum(chi, 1e-12)), 0.0)
+                      -2.0 * sin_K(chi_star - chi, K)
+                      / (sin_K(chi_star, K) * jnp.maximum(sk, 1e-12)), 0.0)
     SP = weyl * wlens                                        # (nk, n_h)
     M = natural_cubic_coeffs(k_c, SP)
     ns, As, kp, *run = src['P_R_params']
     alpha_s, beta_s = run if run else (0.0, 0.0)
     w_tau = _trapz_weights(tau_h)                            # |dchi| weights
-    chi_s = jnp.maximum(chi, 1e-3)
+    sk_s = jnp.maximum(sk, 1e-3)
 
     def one_ell(ell):
         nu = ell + 0.5
-        kq = nu / chi_s
+        # curved Limber: the radial eigenvalue q = nu / S_K(chi) maps to the
+        # physical wavenumber k = sqrt(q^2 - K) the 3D spectra are tabulated
+        # against; the flat-measure chi becomes S_K (flat: both reduce to
+        # k = nu / chi, measure chi)
+        qq = nu / sk_s
+        kq = jnp.sqrt(jnp.maximum(qq ** 2 - K, 1e-30))
         Sq = jax.vmap(lambda f1, M1, x1: cubic_eval(k_c, f1, M1, x1[None])[0],
                       in_axes=(1, 1, 0))(SP, M, kq)          # (n_h,)
         lnkkp = jnp.log(kq / kp)
         P_R = As * (kq / kp) ** (ns - 1.0 + 0.5 * alpha_s * lnkkp
                                  + beta_s / 6.0 * lnkkp ** 2)
-        val = chi * P_R * Sq ** 2
+        val = sk * P_R * Sq ** 2
         val = jnp.where((kq <= k_c[-1]) & (kq >= k_c[0]), val, 0.0)
         return (2.0 * jnp.pi ** 2 / nu ** 3) * jnp.sum(val * w_tau)
 
@@ -269,10 +318,17 @@ def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None,
         ells = bessel.default_ells(lmax)
     ells = np.asarray(ells)
 
+    # spatial curvature [1/Mpc^2]: static in the Cl path (the Harmonic
+    # section guards concreteness); traced params keep the flat contract
+    try:
+        K = -float(params.get('omega_k', 0.0)) * (100.0 / _C_KMS) ** 2
+    except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+        K = 0.0
+
     # full step budget: the LOS source tap is per-step, so the harvested
     # acoustic sources through recombination lose fidelity at the reduced
     # (transfer-grade) tiers - measured as band failures in test_harmonic
-    k_main = coarse_k_grid(kmax)
+    k_main = coarse_k_grid(kmax, kmin=cl_kmin(K))
     n_main = len(k_main)
     if kmax_pp > kmax * 1.001:
         n_tail = max(2, int(np.ceil(np.log(kmax_pp / kmax) / 0.04)))
@@ -284,9 +340,15 @@ def compute_cls(params, thermo, lmax=2500, kmax=None, ells=None, dtype=None,
     src = compute_los_sources(params, thermo, k_c)
     src['P_R_params'] = (params['n_s'], params['A_s'], params['k_pivot'],
                          params.get('alpha_s', 0.0), params.get('beta_s', 0.0))
+    src['K'] = K
 
-    # Bessel tables sized by a conservative static horizon bound
+    # Bessel tables sized by a conservative static horizon bound; in an
+    # open geometry the projection argument is q S_K(chi) >= q chi, so the
+    # bound carries the sinh stretch at the horizon
     x_max = float(kmax) * 1.05 * 16000.0
+    if K < 0.0:
+        u_h = np.sqrt(-K) * 16000.0
+        x_max *= float(np.sinh(u_h) / u_h)
     tables = bessel.bessel_tables(ells, x_max)
 
     # exact LOS projection on the main (TT-sized) k grid only

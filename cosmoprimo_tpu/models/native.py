@@ -382,14 +382,24 @@ class Harmonic(BaseSection):
         self._engine = engine
         import jax
         try:
-            curved = abs(float(engine['Omega_k'])) > 1e-10
+            omega_k = abs(float(engine['Omega_k']))
         except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
-            curved = False  # tracers: enforced on concrete inputs only
-        if curved:
+            omega_k = 0.0  # tracers: flat contract (enforced on concrete inputs only)
+        if omega_k > 0.12:
             raise CosmologyInputError(
-                'native CMB Cls require a flat geometry (hyperspherical radial '
-                'functions not implemented); Transfer/Fourier/Perturbations do '
-                'support Omega_k != 0.')
+                'native CMB Cls support |Omega_k| <= 0.12: the hyperspherical '
+                'radial functions are served by the geodesic projection '
+                'j_l(q S_K(chi)), whose O(K/q^2) error is certified only in '
+                'that window (tests/test_curved_harmonic.py).')
+        if omega_k > 1e-10:
+            try:
+                has_tensors = float(engine['r']) > 0.0
+            except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+                has_tensors = False
+            if has_tensors:
+                raise CosmologyInputError(
+                    'native tensor Cls (r > 0) require a flat geometry; the '
+                    'scalar Harmonic section supports |Omega_k| <= 0.12.')
         self._rsigma8 = engine._rescale_sigma8()
         self.ellmax_cl = engine['ellmax_cl']
 
