@@ -168,10 +168,15 @@ def project_sources(src, ell_list, tables, dtype=None, t_parts=(1.0, 1.0, 1.0, 1
     # radial functions Phi_l^nu(chi) (nu = q / sqrt|K|, q^2 = k^2 + K for
     # scalars) are approximated by j_l(q S_K(chi)) — the geodesic mapping
     # that places the WKB turning point q S_K(chi) ~ l + 1/2 at the exact
-    # angular scale. Error is O(K / q^2) per mode (certified against the
-    # exact recursion oracle in tests/test_curved_harmonic.py); the dominant
-    # curvature effect — the angular-diameter remapping of the acoustic
-    # scale — is captured exactly.
+    # angular scale. Error is O(K / q^2) per mode — certified against an
+    # exact radial-ODE hyperspherical-Bessel oracle in
+    # tests/test_curved_harmonic.py: at the |Omega_k| = 0.12 window edge
+    # the Cl-proxy error is <= 7.5% at l <= 5 and < 0.1% by l = 50; the
+    # dominant curvature effect — the angular-diameter remapping of the
+    # acoustic scale — is captured exactly. The primordial spectrum below
+    # keeps the flat power law in k (alternative curved-measure
+    # conventions differ by 1 + O(K/q^2) factors, inside the same
+    # certified low-l budget).
     q_f = jnp.sqrt(jnp.maximum(k_f.astype(rdtype) ** 2 + rdtype.type(K),
                                rdtype.type(0.0)))
     x = q_f[:, None] * sin_K(chi_q, K)[None, :].astype(rdtype)   # (nK, n_q)

@@ -28,10 +28,11 @@ carries CLP fluid perturbations (rest-frame cs2_fld, regularized across
 w = -1 - CLASS 'fld' with use_ppf=no). Spatial curvature is supported
 through the whole background/transfer/P(k) path (Hu & Eisenstein 1998
 curved longitudinal-gauge constraints + hyperspherical hierarchy
-couplings, boltzmann/perturbations.py _curv); the one remaining
-limitation (documented, raises) is the CMB Harmonic section, which
-requires flat geometry (hyperspherical radial projection not
-implemented).
+couplings, boltzmann/perturbations.py _curv). The CMB Harmonic section
+serves scalar Cls for |Omega_k| <= 0.12 via the geodesic radial
+projection j_l(q S_K(chi)) (boltzmann/harmonic.py; certified against an
+exact hyperspherical-Bessel oracle in tests/test_curved_harmonic.py) and
+raises beyond that window; tensor Cls (r > 0) remain flat-only.
 """
 
 import numpy as np
@@ -66,8 +67,9 @@ class NativeEngine(BaseEngine):
         carries its own momentum hierarchy in the solver); all species
         share the standard T_ncdm. Spatial curvature (omega_k) enters the
         solver's background and Einstein constraints (boltzmann/
-        perturbations.py _curv); the CMB Harmonic section alone stays
-        flat-only (hyperspherical radial projection not implemented)."""
+        perturbations.py _curv); the CMB Harmonic section additionally
+        serves curved scalar Cls for |Omega_k| <= 0.12 (geodesic radial
+        projection, tests/test_curved_harmonic.py) and raises beyond."""
         p = {n: self[n] for n in ['omega_b', 'omega_cdm', 'h', 'T_cmb', 'N_ur',
                                   'w0_fld', 'wa_fld', 'n_s', 'k_pivot',
                                   'alpha_s', 'beta_s', 'omega_k']}

@@ -79,9 +79,13 @@ def test_curved_pk_shape_is_sane():
 
 @pytest.mark.slow
 def test_curved_harmonic_raises():
-    cosmo = DESI(Omega_k=0.05, **KW)
+    """Beyond the certified |Omega_k| <= 0.12 window the Harmonic section
+    refuses; inside it the section is served (Cl-level certification lives
+    in tests/test_curved_harmonic.py)."""
     with pytest.raises(CosmologyInputError):
-        cosmo.get_harmonic()
-    # but Transfer and Perturbations sections are served
+        DESI(Omega_k=0.2, **KW).get_harmonic()
+    cosmo = DESI(Omega_k=0.05, **KW)
+    cosmo.get_harmonic()  # inside the window: no raise
+    # Transfer and Perturbations sections are served as well
     tr = cosmo.get_transfer().table(z=0.0)
     assert np.all(np.isfinite(np.asarray(tr['d_cdm'])))
