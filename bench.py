@@ -9,15 +9,18 @@ Pallas FFTLog kernel vs the XLA f64 pair-FFT path.
 
 Fitting the driver's wall-clock window (round 2 was killed at rc=124 after
 ~20 min): XLA compilation on the axon relay dominates the old serial cost
-(~25 min; the timed sections are seconds), so the four metric programs are
-now *compiled concurrently* from four threads — the relay compiles
-server-side, so the compiles overlap and total wall time collapses to
-roughly the slowest single compile — then timed sequentially.  A wall-clock
-budget (env ``BENCH_BUDGET_S``, default 1020 s) still gates each join: a
-metric whose compile has not landed in-window is reported as a JSON line
-with a "skipped" note instead of being lost to the kill signal.  All
-threads are daemons, so a hung relay call cannot wedge process exit.
-Stage timings go to stderr.
+(~25 min; the timed sections are seconds), so the five metric programs are
+compiled concurrently — but with BOUNDED concurrency and in priority order
+(headline, pallas, native, halofit, hmcode): round 4 showed the relay
+cannot absorb five simultaneous ~400-500s compiles (each stretched to
+~1000s and three metrics missed the budget), while three at a time land in
+their round-3 times.  A wall-clock budget (env ``BENCH_BUDGET_S``, default
+1020 s) still gates each join: a metric whose compile has not landed
+in-window is reported as a JSON line with a "skipped" note instead of
+being lost to the kill signal.  All threads are daemons, so a hung relay
+call cannot wedge process exit.  Stage timings go to stderr.  The repo-
+local persistent compile cache (gitignored, warmed by in-round TPU runs of
+this same script) makes the driver's end-of-round run a cache hit.
 
 Timing note: on the axon TPU relay, ``block_until_ready`` does not
 synchronize — every timed call therefore reduces its outputs to a scalar
@@ -275,34 +278,44 @@ def main():
     hm_args = [make_args(n_hm, seed=20 + i) for i in range(nrep + 1)]
     nat_args = [make_args(n_native, seed=30 + i) for i in range(nrep + 1)]
 
-    # ---- concurrent compilation: the relay compiles server-side, so four
-    # compiles overlap; threads are daemons so a hung one cannot block exit
+    # ---- concurrent compilation, bounded + prioritized: round 4 showed the
+    # relay cannot absorb five concurrent ~400-500s compiles (each stretched
+    # to ~1000s and three metrics missed the budget).  A semaphore caps
+    # in-flight compiles (default 3) and threads are STARTED in priority
+    # order — headline (mandatory), pallas (fast, ~80s), native (the
+    # flagship capability metric), then the two non-linear variants — so the
+    # high-priority programs hold the first slots and the rest queue.
+    # Threads are daemons so a hung relay call cannot block process exit.
     built = {}
+    max_compiles = int(os.environ.get('BENCH_MAX_CONCURRENT_COMPILES', '3'))
+    compile_slots = threading.Semaphore(max_compiles)
 
     def runner(name, builder):
-        try:
-            t0 = time.time()
-            built[name] = ('ok', builder())
-            _log(f'{name}: compiled + warmed in {time.time() - t0:.0f}s')
-        except Exception as exc:  # noqa: BLE001 - report, don't crash the bench
-            built[name] = ('err', exc)
-            _log(f'{name}: build FAILED: {type(exc).__name__}: {exc}')
+        with compile_slots:
+            try:
+                t0 = time.time()
+                built[name] = ('ok', builder())
+                _log(f'{name}: compiled + warmed in {time.time() - t0:.0f}s')
+            except Exception as exc:  # noqa: BLE001 - report, don't crash the bench
+                built[name] = ('err', exc)
+                _log(f'{name}: build FAILED: {type(exc).__name__}: {exc}')
 
-    builders = {
+    builders = {  # insertion order IS the compile priority
         'headline': lambda: _build_batched_checksum(nk=1024, non_linear=False,
                                                     warm_args=head_args[0], with_slices=True),
+        'pallas': lambda: _build_pallas_kernel(n_pallas),
+        'native': lambda: _build_native_checksum(nk=nk_native, warm_args=nat_args[0]),
         'halofit': lambda: _build_batched_checksum(nk=1024, non_linear='halofit',
                                                    warm_args=hf_args[0]),
         'hmcode': lambda: _build_batched_checksum(nk=384, non_linear='mead',
                                                   warm_args=hm_args[0]),
-        'pallas': lambda: _build_pallas_kernel(n_pallas),
-        'native': lambda: _build_native_checksum(nk=nk_native, warm_args=nat_args[0]),
     }
     threads = {}
     for name, builder in builders.items():
         threads[name] = threading.Thread(target=runner, args=(name, builder), daemon=True)
         threads[name].start()
-    _log('all four metric programs compiling concurrently')
+        time.sleep(0.2)  # deterministic slot acquisition in priority order
+    _log(f'five metric programs queued ({max_compiles} concurrent compile slots)')
 
     # ---- CPU f64 cross-check reference, in the main thread meanwhile
     _log('cpu cross-check: compiling on CPU backend')
@@ -364,12 +377,38 @@ def main():
         }), flush=True)
         _log('headline: emitted')
 
+    # ---- native Boltzmann solver: the capability metric (the reference
+    # can only obtain a Boltzmann P(k) from an external single-cosmology
+    # CPU C build; there is nothing in-image to race, so vs_baseline is
+    # against a pinned nominal 1.5 s/cosmology CLASS-like solve).  Joined
+    # BEFORE the non-linear variants: it is the flagship metric.
+    label = f'native Boltzmann linear P(k), nk={nk_native}, batch {n_native}'
+    base_label = 'nominal CLASS-like C Boltzmann solve, 1.5 s/cosmology on 1 CPU core (pinned; no external build runnable in-image)'
+    threads['native'].join(timeout=max(0.0, _budget_left() - 90.0))
+    status = built.get('native')
+    if status is None or status[0] != 'ok':
+        reason = (f'compile did not finish in budget ({_budget_left():.0f}s left)'
+                  if status is None else f'{type(status[1]).__name__}: {status[1]}'[:200])
+        _skip_line(label, base_label, 'cosmologies/s', reason)
+    else:
+        checksum = status[1]
+        best = _time_best(checksum, [nat_args[i] for i in range(1, nrep + 1)])
+        print(json.dumps({
+            'metric': label,
+            'value': round(n_native / best, 3),
+            'unit': 'cosmologies/s',
+            'vs_baseline': round(n_native / best / (1.0 / 1.5), 2),
+            'baseline': base_label,
+            'backend': jax.default_backend(),
+        }), flush=True)
+        _log('native: emitted')
+
     # ---- halofit / hmcode pipelines
-    for name, n_batch, label in (
-            ('halofit', n_nl, f'non-linear (halofit) pk->xi pipeline, f64, batch {n_nl}'),
-            ('hmcode', n_hm, f'HMcode-2020 halo-model pk->xi pipeline, f64, batch {n_hm}')):
+    for name, n_batch, reserve, label in (
+            ('halofit', n_nl, 60.0, f'non-linear (halofit) pk->xi pipeline, f64, batch {n_nl}'),
+            ('hmcode', n_hm, 30.0, f'HMcode-2020 halo-model pk->xi pipeline, f64, batch {n_hm}')):
         base_label = f'reference linear pipeline rate (the reference has no native {name})'
-        threads[name].join(timeout=max(0.0, _budget_left() - 30.0))
+        threads[name].join(timeout=max(0.0, _budget_left() - reserve))
         status = built.get(name)
         if status is None or status[0] != 'ok':
             reason = (f'compile did not finish in budget ({_budget_left():.0f}s left)'
@@ -388,31 +427,6 @@ def main():
             'backend': jax.default_backend(),
         }), flush=True)
         _log(f'{name}: emitted')
-
-    # ---- native Boltzmann solver: the capability metric (the reference
-    # can only obtain a Boltzmann P(k) from an external single-cosmology
-    # CPU C build; there is nothing in-image to race, so vs_baseline is
-    # against a pinned nominal 1.5 s/cosmology CLASS-like solve)
-    label = f'native Boltzmann linear P(k), nk={nk_native}, batch {n_native}'
-    base_label = 'nominal CLASS-like C Boltzmann solve, 1.5 s/cosmology on 1 CPU core (pinned; no external build runnable in-image)'
-    threads['native'].join(timeout=max(0.0, _budget_left() - 20.0))
-    status = built.get('native')
-    if status is None or status[0] != 'ok':
-        reason = (f'compile did not finish in budget ({_budget_left():.0f}s left)'
-                  if status is None else f'{type(status[1]).__name__}: {status[1]}'[:200])
-        _skip_line(label, base_label, 'cosmologies/s', reason)
-    else:
-        checksum = status[1]
-        best = _time_best(checksum, [nat_args[i] for i in range(1, nrep + 1)])
-        print(json.dumps({
-            'metric': label,
-            'value': round(n_native / best, 3),
-            'unit': 'cosmologies/s',
-            'vs_baseline': round(n_native / best / (1.0 / 1.5), 2),
-            'baseline': base_label,
-            'backend': jax.default_backend(),
-        }), flush=True)
-        _log('native: emitted')
 
     # ---- standalone fused Pallas FFTLog kernel vs the XLA pair-FFT engine
     label = f'fused Pallas FFTLog kernel, df32, batch {n_pallas} x 4096'

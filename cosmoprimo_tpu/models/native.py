@@ -372,10 +372,11 @@ class Harmonic(BaseSection):
     EE within 6.5% through the reionization shoulder (l ~ 5-50, where
     RECFAST-vs-HyRec recombination detail dominates) and 1.3% for
     l >= 150; TE within a few % of the local envelope away from zero
-    crossings; lensing potential within ~10% to l = 1500 (-24% at the
-    l = 2500 edge); lensed spectra add <0.3% convolution error on top of
-    the unlensed inputs (the standalone convolution reproduces CLASS
-    lensed from CLASS unlensed to that level). With r > 0 the tensor
+    crossings; lensing potential within 6.7% at l <= 100 (exact-LOS
+    region) and 1.2% through the Limber regime l in [250, 2500]; lensed
+    spectra add <0.3% convolution error on top of the unlensed inputs
+    (the standalone convolution reproduces CLASS lensed from CLASS
+    unlensed to that level). With r > 0 the tensor
     contributions (boltzmann/tensor.py) are included and BB is non-zero.
     """
 

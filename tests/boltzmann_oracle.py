@@ -10,9 +10,17 @@ perturbations.py): no tight-coupling approximation (the stiff Thomson drag
 is integrated implicitly), no radiation-streaming switch, no Poisson
 projection, no ETD splitting, and an independent hand-derived RHS.
 
-Used by tests/test_boltzmann_oracle.py to pin the production LOS sources
-(visibility-weighted monopole, Doppler, polarization, ISW) and transfer
-functions at the sub-percent level, k by k.
+Spatial curvature is carried exactly (Hu & Eisenstein 1998 curved
+longitudinal-gauge constraints: G2 = Hc^2 + K gravitational normalization,
+(k^2 - 3K) Poisson/anisotropic-stress factors, s_l hierarchy couplings) —
+UNCLAMPED, unlike the production solver's closed-model saturation, so it
+is an independent anchor for the curved transfer path too
+(tests/test_curved.py::test_curved_transfers_vs_bdf_oracle).
+
+Used by the dev harnesses (scripts/dev_oracle_*.py, dev_highk_*.py) and by
+tests/test_curved.py to pin the production LOS sources (visibility-
+weighted monopole, Doppler, polarization, ISW) and transfer functions at
+the sub-percent level, k by k.
 
 The background/thermodynamics tables are taken from the production
 build_tables (those are separately validated against the CLASS v3.1.1
@@ -38,6 +46,16 @@ def oracle_rhs_factory(tabs_np, k, lmax_g=40, lmax_pol=40, lmax_ur=40,
     interp = {n: tabs_np[n] for n in ('lna', 'Hc', 'kp', 'cb2', 'fg', 'fur',
                                       'fc', 'fb', 'fnc', 'fde', 'w_nc', 'w_de')}
     am = float(np.asarray(tabs_np["am"]).reshape(-1)[0])
+    # spatial curvature [1/Mpc^2] (Hu & Eisenstein 1998 curved
+    # longitudinal-gauge system; K = 0 reduces every factor to MB95):
+    # G2 = Hc^2 + K normalizes gravity (4 pi G a^2 rho_i = 1.5 G2 f_i),
+    # s2sq = 1 - 3K/k^2 enters the Poisson/anisotropic-stress constraints,
+    # s_l = sqrt(1 - (l^2-1) K/k^2) couples the free-streaming hierarchies.
+    # UNCLAMPED (unlike the production _curv/_s_l saturation) — this oracle
+    # only runs at k well above the curvature scale.
+    K = float(np.asarray(tabs_np.get('K', 0.0)).reshape(-1)[0])
+    s2sq = 1.0 - 3.0 * K / k ** 2
+    s_l = np.sqrt(np.maximum(1.0 - (np.arange(0, 64) ** 2 - 1.0) * K / k ** 2, 0.0))
 
     i_g = 5
     i_p = i_g + (lmax_g + 1)
@@ -68,14 +86,14 @@ def oracle_rhs_factory(tabs_np, k, lmax_g=40, lmax_pol=40, lmax_ur=40,
         nc_opw_th_k = np.sum(w_fd * q ** 3 * psi_nc[:, 1]) / I_rho
         nc_opw_sig = (2.0 / 3.0) * np.sum(w_fd * q ** 4 / eps * psi_nc[:, 2]) / I_rho
 
-        # metric constraints (MB95 eq 23): psi from anisotropic stress,
-        # phi' from the momentum constraint
-        H2k2 = Hc ** 2 / k ** 2
+        # metric constraints (MB95 eq 23, curved per Hu & Eisenstein 1998):
+        # psi from anisotropic stress, phi' from the momentum constraint
+        G2k2 = (Hc ** 2 + K) / k ** 2
         stress = (2.0 / 3.0) * (fg * Fg[2] + fur * Fur[2]) + fnc * nc_opw_sig
-        psi = phi - 4.5 * H2k2 * stress
+        psi = phi - 4.5 * (G2k2 / s2sq) * stress
         tur = 0.75 * k * Fur[1]
         Stheta = fc * tc + fb * tb + (4.0 / 3.0) * (fg * tg + fur * tur) + fnc * k * nc_opw_th_k
-        phip = -Hc * psi + 1.5 * H2k2 * Stheta
+        phip = -Hc * psi + 1.5 * G2k2 * Stheta
 
         k2psi = k ** 2 * psi
         dy = np.zeros(n_state)
@@ -87,48 +105,57 @@ def oracle_rhs_factory(tabs_np, k, lmax_g=40, lmax_pol=40, lmax_ur=40,
         dy[4] = (-Hc * tb + cb2 * k ** 2 * db + k2psi
                  + kp * R * (tg - tb))                # theta_b with full drag
 
-        # photon temperature hierarchy (MB95 eq 63), F_g0 = delta_g
+        # photon temperature hierarchy (MB95 eq 63 with the non-flat s_l
+        # couplings: l F_{l-1} -> l s_l F_{l-1}, (l+1) F_{l+1} ->
+        # (l+1) s_{l+1} F_{l+1}), F_g0 = delta_g
         PI = Fg[2] + G[0] + G[2]
         dFg = np.zeros(lmax_g + 1)
         dFg[0] = -k * Fg[1] + 4.0 * phip
-        dFg[1] = k / 3.0 * (Fg[0] - 2.0 * Fg[2]) + (4.0 / 3.0) * k * psi \
+        dFg[1] = k / 3.0 * (Fg[0] - 2.0 * s_l[2] * Fg[2]) + (4.0 / 3.0) * k * psi \
             + kp * (4.0 * tb / (3.0 * k) - Fg[1])
-        dFg[2] = k / 5.0 * (2.0 * Fg[1] - 3.0 * Fg[3]) + kp * (0.1 * PI - Fg[2])
+        dFg[2] = k / 5.0 * (2.0 * s_l[2] * Fg[1] - 3.0 * s_l[3] * Fg[3]) \
+            + kp * (0.1 * PI - Fg[2])
         for l in range(3, lmax_g + 1):
             Fp = Fg[l + 1] if l < lmax_g else (
                 (2.0 * lmax_g + 1.0) / (k * eta) * Fg[lmax_g] - Fg[lmax_g - 1])
-            dFg[l] = k / (2.0 * l + 1.0) * (l * Fg[l - 1] - (l + 1.0) * Fp) - kp * Fg[l]
+            dFg[l] = k / (2.0 * l + 1.0) * (l * s_l[l] * Fg[l - 1]
+                                            - (l + 1.0) * s_l[l + 1] * Fp) - kp * Fg[l]
 
-        # polarization hierarchy (MB95 eq 64)
+        # polarization hierarchy (MB95 eq 64; scalar s_l factors stand in
+        # for the curved spin-2 couplings, as in the production solver —
+        # the difference is O(K/k^2) on a Silk-damping feedback term)
         dG = np.zeros(lmax_pol + 1)
         for l in range(lmax_pol + 1):
             Gm = G[l - 1] if l > 0 else 0.0
             Gp = G[l + 1] if l < lmax_pol else (
                 (2.0 * lmax_pol + 1.0) / (k * eta) * G[lmax_pol] - G[lmax_pol - 1])
             src = 0.5 * PI if l == 0 else (0.1 * PI if l == 2 else 0.0)
-            dG[l] = k / (2.0 * l + 1.0) * (l * Gm - (l + 1.0) * Gp) + kp * (src - G[l])
+            dG[l] = k / (2.0 * l + 1.0) * (l * s_l[l] * Gm
+                                           - (l + 1.0) * s_l[l + 1] * Gp) + kp * (src - G[l])
 
         # massless neutrinos
         dU = np.zeros(lmax_ur + 1)
         dU[0] = -k * Fur[1] + 4.0 * phip
-        dU[1] = k / 3.0 * (Fur[0] - 2.0 * Fur[2]) + (4.0 / 3.0) * k * psi
+        dU[1] = k / 3.0 * (Fur[0] - 2.0 * s_l[2] * Fur[2]) + (4.0 / 3.0) * k * psi
         for l in range(2, lmax_ur + 1):
             Fp = Fur[l + 1] if l < lmax_ur else (
                 (2.0 * lmax_ur + 1.0) / (k * eta) * Fur[lmax_ur] - Fur[lmax_ur - 1])
-            dU[l] = k / (2.0 * l + 1.0) * (l * Fur[l - 1] - (l + 1.0) * Fp)
+            dU[l] = k / (2.0 * l + 1.0) * (l * s_l[l] * Fur[l - 1]
+                                           - (l + 1.0) * s_l[l + 1] * Fp)
 
-        # massive neutrinos (MB95 eqs 56-58)
+        # massive neutrinos (MB95 eqs 56-58, same s_l couplings)
         dN = np.zeros((nq_ncdm, lmax_ncdm + 1))
         for j in range(nq_ncdm):
             qe = q[j] * k / eps[j]
             dN[j, 0] = -qe * psi_nc[j, 1] - phip * dlnf0[j]
-            dN[j, 1] = qe / 3.0 * (psi_nc[j, 0] - 2.0 * psi_nc[j, 2]) \
+            dN[j, 1] = qe / 3.0 * (psi_nc[j, 0] - 2.0 * s_l[2] * psi_nc[j, 2]) \
                 - (eps[j] * k / (3.0 * q[j])) * psi * dlnf0[j]
             for l in range(2, lmax_ncdm + 1):
                 Pp = psi_nc[j, l + 1] if l < lmax_ncdm else (
                     (2.0 * lmax_ncdm + 1.0) * eps[j] / (q[j] * k * eta) * psi_nc[j, lmax_ncdm]
                     - psi_nc[j, lmax_ncdm - 1])
-                dN[j, l] = qe / (2.0 * l + 1.0) * (l * psi_nc[j, l - 1] - (l + 1.0) * Pp)
+                dN[j, l] = qe / (2.0 * l + 1.0) * (l * s_l[l] * psi_nc[j, l - 1]
+                                                   - (l + 1.0) * s_l[l + 1] * Pp)
 
         dy[i_g:i_g + lmax_g + 1] = dFg
         dy[i_p:i_p + lmax_pol + 1] = dG
@@ -217,9 +244,10 @@ def run_oracle(params, thermo, k, eta_eval, lmax_g=40, lmax_pol=40, lmax_ur=40,
         eps = np.sqrt(qj ** 2 + (a * float(np.asarray(tabs_np["am"]).reshape(-1)[0])) ** 2)
         I_rho = np.sum(w_fd * qj ** 2 * eps)
         nc_sig = (2.0 / 3.0) * np.sum(w_fd * qj ** 4 / eps * psi_nc[:, 2]) / I_rho
-        H2k2 = c['Hc'] ** 2 / k ** 2
+        K = float(np.asarray(tabs_np.get('K', 0.0)).reshape(-1)[0])
+        G2k2s = (c['Hc'] ** 2 + K) / (k ** 2 - 3.0 * K)
         stress = (2.0 / 3.0) * (c['fg'] * Fg[2] + c['fur'] * Fur[2]) + c['fnc'] * nc_sig
-        psi = y[0] - 4.5 * H2k2 * stress
+        psi = y[0] - 4.5 * G2k2s * stress
         # Pi in temperature units (Theta_l = F_gl/4), as _los_emitters
         PI = 0.25 * (Fg[2] + G[0] + G[2])
         return dict(phi=y[0], psi=psi, dc=y[1], tc=y[2], db=y[3], tb=y[4],

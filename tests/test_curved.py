@@ -78,6 +78,55 @@ def test_curved_pk_shape_is_sane():
 
 
 @pytest.mark.slow
+def test_curved_transfers_vs_bdf_oracle():
+    """Anchor the curved transfer path to the structurally independent
+    stiff-BDF oracle (tests/boltzmann_oracle.py), which now integrates the
+    exact Hu & Eisenstein 1998 curved constraints with NO tight-coupling
+    approximation, no RSA switch, no Poisson pin and no closed-model
+    clamps.  Two assertions per geometry at k in {0.05, 0.2} h/Mpc, z = 0:
+
+    - direct parity of delta_cdm (production vs oracle) within 1.2e-2 —
+      the bound is set by the shared FLAT-limit late-time residual
+      (measured -0.1%/-0.75%, identical in all three geometries: the
+      oracle's own lmax=24 free-streaming truncation at k eta_0 >> lmax);
+    - the pure curvature RESPONSE, curved/flat transfer ratio, within
+      2e-3 (measured 2e-4) — this cancels the shared truncation residual
+      and is the discriminating test: a k-dependent curvature error in the
+      production solver's s_l/G2/s2sq terms cannot hide in it."""
+    import jax.numpy as jnp
+    from cosmoprimo_tpu.boltzmann import perturbations as P
+    from boltzmann_oracle import run_oracle
+
+    k_h = np.array([0.05, 0.2])
+    res = {}
+    for omk in (0.0, 0.05, -0.05):
+        cosmo = DESI(Omega_k=omk, **KW) if omk else DESI(**KW)
+        th = cosmo.get_thermodynamics().table
+        pp = cosmo.engine._perturbation_params()
+        k_mpc = k_h * float(cosmo['h'])
+        tabs = P.build_tables(pp, th)
+        eta0 = float(np.exp(np.interp(0.0, np.asarray(tabs['lna']),
+                                      np.asarray(tabs['lneta']))))
+        prod = np.asarray(P.linear_pk(pp, th, jnp.asarray(k_h),
+                                      [0.0])['transfers']['delta_cdm'])[0]
+        Hc0 = float(np.asarray(P._fetch(tabs, jnp.asarray([eta0]))['Hc'])[0])
+        orc = []
+        for kk in k_mpc:
+            o = run_oracle(pp, th, float(kk), np.array([eta0 * (1 - 1e-9)]),
+                           lmax_g=24, lmax_pol=24, lmax_ur=24)
+            # Newtonian -> CDM-comoving, as the production harvest
+            orc.append(float(o['dc'][0]) + 3.0 * Hc0 * float(o['tc'][0]) / kk ** 2)
+        res[omk] = (prod, np.array(orc))
+        np.testing.assert_allclose(prod, res[omk][1], rtol=1.2e-2)
+    for omk in (0.05, -0.05):
+        ratio_prod = res[omk][0] / res[0.0][0]
+        ratio_orc = res[omk][1] / res[0.0][1]
+        # the curvature response itself is ~5%: assert it and its parity
+        assert np.all(np.abs(ratio_prod - 1.0) > 0.03)
+        np.testing.assert_allclose(ratio_prod, ratio_orc, rtol=2e-3)
+
+
+@pytest.mark.slow
 def test_curved_harmonic_raises():
     """Beyond the certified |Omega_k| <= 0.12 window the Harmonic section
     refuses; inside it the section is served (Cl-level certification lives

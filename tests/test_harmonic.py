@@ -14,10 +14,13 @@ Enforced accuracy (DESI fiducial, ellmax_cl=800): TT within 1.5% for
 l >= 100 and 3-4% below; EE within 1.5% for l >= 150 (up to ~10% through
 the reionization bump, where RECFAST-vs-HyRec recombination detail
 dominates); TE within 8% of its local value at non-crossing multipoles;
-lensing potential within 3-12%; lensed TT within 1.5% including the
-smoothing signature at l = 800. These bars are measured at THIS run's
-ellmax_cl = 800 (its kmax heuristic included); the full-accuracy table
-at lmax 2500 is recorded in doc/parity.md.
+lensing potential within 3-12% (this fixture's ellmax-800 kmax support);
+lensed TT within 1.5% including the smoothing signature at l = 800.
+These bars are measured at THIS run's ellmax_cl = 800; the SHIPPED
+DEFAULT (ellmax_cl = 2500 with the Limber pp blend) is separately
+regression-protected by test_default_lmax2500_spot_check — TT/EE ~1% at
+l in [1000, 2000], pp within 1.2% through the Limber regime — and the
+full post-Limber accuracy table is recorded in doc/parity.md.
 The standalone lensing convolution, fed the archived CLASS unlensed
 spectra, reproduces the archived lensed spectra to <~0.3%
 (test_lensing_module_vs_class).
@@ -88,11 +91,10 @@ def test_unlensed_ee_te_vs_class(harmonic_run):
 
 @pytest.mark.slow
 def test_lens_potential_vs_class(harmonic_run):
-    # the 500-800 band is limited here by the fixture's k support: the
-    # default kmax heuristic tracks the TT/EE projection (k ~ l/chi_star)
-    # while pp at l draws on k ~ l/3400; pass extra_params={'kmax_cl': ...}
-    # for high-l lensing work (at lmax=2500 defaults the measured pp error
-    # is <= 12% to l = 2000)
+    # bands here reflect THIS fixture's ellmax_cl=800 configuration; the
+    # shipped default (ellmax 2500, Limber pp blend with its own k-tail) is
+    # certified separately in test_default_lmax2500_spot_check — pp within
+    # 1.2% through the whole Limber regime l in [250, 2500]
     pot = harmonic_run[1]
     _band_assert(pot['pp'], PP, [(2, 40, 1e-1), (80, 350, 6e-2), (500, 800, 2e-1)], 'pp')
 
@@ -146,6 +148,52 @@ def test_lensing_module_vs_class():
         if name == 'bb':  # unlensed BB is zero: fully generated power
             assert np.all(ours[check_l >= 100] > 0)
         np.testing.assert_allclose(ours, gold, rtol=rtol, err_msg=name)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(_REF_CL), reason='archived CLASS tables unavailable')
+def test_default_lmax2500_spot_check():
+    """The SHIPPED DEFAULT configuration (ellmax_cl=2500, default kmax
+    heuristics, Limber lensing-potential blend) vs the archived CLASS
+    table — so the default is regression-protected, not just dev-measured.
+
+    Bars are the scripts/dev_cls_check.py 2500 post-Limber measurements
+    (2026-08) x ~1.5 margin: TT -0.5% at l in [1000, 2000] and -3.9% at
+    l = 2500 (damping-tail physics, tracked in doc/roadmap.md); EE <= 1.3%
+    at l >= 1000; lensing potential <= 1.2% through the whole Limber
+    regime l in [250, 2500] including the exact/Limber blend window
+    [250, 420] (a blend discontinuity would break the 2.5% band there)."""
+    cosmo = DESI(engine='native')
+    hr = cosmo.get_harmonic()
+    unl = hr.unlensed_cl()
+    pot = hr.lens_potential_cl()
+    gold = np.loadtxt(_REF_CL)
+    gl = gold[:, 0].astype(int)
+    T2 = (float(cosmo['T_cmb']) * 1e6) ** 2
+    fac = gl * (gl + 1.0) / (2 * np.pi)
+    g_tt = gold[:, 1] / fac / T2
+    g_ee = gold[:, 2] / fac / T2
+    g_pp = gold[:, 5] * 2 * np.pi / (gl * (gl + 1.0)) ** 2
+
+    def rel(ours, theirs, ells):
+        i = np.searchsorted(gl, ells)
+        return np.asarray(ours)[gl[i]] / theirs[i] - 1.0
+
+    tt = rel(unl['tt'], g_tt, [1000, 1500, 2000])
+    np.testing.assert_allclose(tt, 0.0, atol=1.2e-2)
+    tt_edge = rel(unl['tt'], g_tt, [2500])
+    np.testing.assert_allclose(tt_edge, 0.0, atol=5.5e-2)
+    ee = rel(unl['ee'], g_ee, [1000, 1500, 2000, 2500])
+    np.testing.assert_allclose(ee, 0.0, atol=2e-2)
+    # lensing potential: the Limber regime the ellmax-800 fixture never
+    # reaches, plus the exact/Limber blend window
+    pp_hi = rel(pot['pp'], g_pp, [600, 1000, 1500, 2000, 2500])
+    np.testing.assert_allclose(pp_hi, 0.0, atol=1.2e-2)
+    blend_l = np.arange(250, 421, 10)
+    pp_blend = rel(pot['pp'], g_pp, blend_l)
+    np.testing.assert_allclose(pp_blend, 0.0, atol=2.5e-2)
+    # continuity across the blend: adjacent sampled ratios move smoothly
+    assert np.max(np.abs(np.diff(pp_blend))) < 1e-2
 
 
 @pytest.mark.slow
