@@ -47,10 +47,14 @@ from .. import constants
 from ..ops.quadrature import gauss_laguerre_nodes
 from . import thermodynamics as _thermo
 
-# hierarchy truncations (CLASS-like defaults)
-LMAX_G = 11        # photon temperature: delta, theta, F_2..F_LMAX_G
-LMAX_POL = 11      # photon polarization: G_0..G_LMAX_POL
-LMAX_UR = 17       # massless neutrinos: F_0..F_LMAX_UR
+import os as _os
+
+# hierarchy truncations (CLASS-like defaults; env-overridable for
+# convergence studies - the state layout below derives from these, so they
+# are import-time constants)
+LMAX_G = int(_os.environ.get('NATIVE_LMAX_G', '11'))    # photon temperature
+LMAX_POL = int(_os.environ.get('NATIVE_LMAX_POL', '11'))  # photon polarization
+LMAX_UR = int(_os.environ.get('NATIVE_LMAX_UR', '17'))  # massless neutrinos
 LMAX_NCDM = 8      # massive neutrinos: Psi_0..Psi_LMAX_NCDM per q-bin
 NQ_NCDM = 5        # Gauss-Laguerre momentum bins
 
@@ -64,6 +68,14 @@ KAPPA_SAFE = 0.45  # deta <= KAPPA_SAFE * 2.8 / kappa' in the release band
 TCA_TRIGGER = 50.0  # tight coupling while kappa' > TRIGGER * max(k, aH)
 RSA_KETA = 45.0    # streaming once k eta > 45 and eta > eta(z~900)
 POISSON_KAH = 2.5  # pin phi to the Poisson constraint where k > POISSON_KAH * aH
+
+# lax.scan unroll for the hierarchy integration: each RK4 step over the
+# (n_state, nk) lanes is latency-bound at small batch (the arrays are far
+# below the chip's bandwidth saturation point), so packing UNROLL steps per
+# loop iteration amortizes dispatch. The step body is large (4 deriv_full
+# evaluations + projections), so compile time grows with UNROLL - keep
+# moderate.
+UNROLL = int(_os.environ.get('NATIVE_UNROLL_PERT', '2'))
 
 _C_KMS = constants.c / 1e3
 
@@ -837,7 +849,9 @@ def _rk4_scan(deriv, y0, eta_grid, harvest_eta, tabs, k, am, project=None, emit=
         return (y1, out), ys
 
     xs = (eta_grid[:, :-1].T, eta_grid[:, 1:].T)
-    (yf, out), ys = jax.lax.scan(step, (y0, out0), xs)
+    n = xs[0].shape[0]
+    unroll = UNROLL if n % UNROLL == 0 else 1
+    (yf, out), ys = jax.lax.scan(step, (y0, out0), xs, unroll=unroll)
     if emit is not None:
         return yf, out, ys
     return yf, out

@@ -27,12 +27,20 @@ Validation against the CLASS-computed DESI fiducial anchors lives in
 tests/test_thermodynamics.py.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
 from ..ops.roots import bisect
+
+# lax.scan unroll factor for the recombination history. Measured on the
+# v5e (scripts/dev_native_perf.py): the 6144-step scan runs at ~25us/step
+# (157 ms at batch 8) and unroll=16 REGRESSED it to 206 ms - XLA's loop
+# overhead is already negligible - so the default stays 1.
+UNROLL = int(os.environ.get('NATIVE_UNROLL_THERMO', '1'))
 
 # ---- SI atomic constants (CODATA 2018 / RECFAST values)
 sigma_thomson = 6.6524587321e-29        # m^2
@@ -50,6 +58,15 @@ E_alpha = B1_H - B2_H                   # Ly-alpha (kept exactly B1-B2 so the
                                         # Peebles equilibrium is ground-state Saha)
 chi_HeI = 2.853157e5                    # He I first ionization (24.5874 eV)
 chi_HeII = 6.31515e5                    # He II second ionization (54.4178 eV)
+# HeI singlet-channel levels (RECFAST wavenumbers x hc/k -> temperatures)
+_HCK = 1.43877688e-2                    # h c / k_B [m K]
+L_He_2s = 1.66277434e7                  # 1/m, 2^1s excitation
+L_He_2p = 1.71134891e7                  # 1/m, 2^1p excitation
+chi_He_2s = (1.98310772e7 - L_He_2s) * _HCK   # ionization FROM 2^1s, 4.609e4 K
+E_He_2s = L_He_2s * _HCK                # 1^1s -> 2^1s excitation, 2.392e5 K
+E_He_2p2s = (L_He_2p - L_He_2s) * _HCK  # 2^1p - 2^1s split, 6989 K
+lambda_He_2p = 1.0 / L_He_2p            # m, 58.4334 nm intercombination line
+lambda_He_2s1s = 51.3                   # 1/s, He 2^1s->1^1s two-photon rate
 
 _MPC = constants.megaparsec_over_m
 _C_KMS = constants.c / 1e3
@@ -113,6 +130,23 @@ def _beta2(T_m, fudge=1.14):
     """Photoionization rate from n=2 [1/s] by detailed balance."""
     lng = 1.5 * jnp.log(2.0 * jnp.pi * m_electron * constants.Boltzmann * T_m / h_planck ** 2)
     return alpha_B(T_m, fudge) * jnp.exp(jnp.clip(lng - B2_H / T_m, -300.0, 300.0))
+
+
+def alpha_HeI(T_m):
+    """HeI singlet case-B recombination coefficient [m^3/s]: the
+    Verner & Ferland (1996) fit with the RECFAST parameters
+    (q = 10^-16.744, p = 0.711, T1 = 10^5.114 K, T2 = 3 K)."""
+    s1 = jnp.sqrt(T_m / 10.0 ** 5.114)
+    s2 = jnp.sqrt(T_m / 3.0)
+    return 10.0 ** -16.744 / (s2 * (1.0 + s2) ** (1.0 - 0.711)
+                              * (1.0 + s1) ** (1.0 + 0.711))
+
+
+def _beta_HeI(T_m):
+    """HeI photoionization rate from 2^1s [1/s] by detailed balance
+    (statistical factor 4 = g_HeII g_e / g_HeI(2s))."""
+    lng = 1.5 * jnp.log(2.0 * jnp.pi * m_electron * constants.Boltzmann * T_m / h_planck ** 2)
+    return 4.0 * alpha_HeI(T_m) * jnp.exp(jnp.clip(lng - chi_He_2s / T_m, -300.0, 300.0))
 
 
 class ThermodynamicsResult(object):
@@ -185,14 +219,42 @@ def compute_thermodynamics(omega_b, h, T_cmb, efunc_of_z, YHe=None,
     # survives, f u afterwards.
     v_HeIII = saha_helium_III(T_gamma, n_H, f_He)
     u_HeII = saha_helium_II(T_gamma, n_H, f_He)
-    x_He_e = f_He * jnp.where(v_HeIII > 1e-6, 1.0 + v_HeIII, u_HeII)
+    x_He_e_saha = f_He * jnp.where(v_HeIII > 1e-6, 1.0 + v_HeIII, u_HeII)
 
-    x_H_saha = saha_hydrogen(T_gamma, n_H, x_He_e)
+    x_H_saha = saha_hydrogen(T_gamma, n_H, x_He_e_saha)
 
-    # ---- Peebles ODE for x_H + Crank-Nicolson for T_m, one scan
-    def dxH_dlna(x_H, T_m, i):
-        x_e = x_H + x_He_e[i]
-        nH, Hs, Tg = n_H[i], H_s[i], T_gamma[i]
+    # ---- one scan: HeI singlet ODE (xhe) + Peebles ODE for x_H +
+    # Crank-Nicolson for T_m. ``xhe`` is the He electrons per H through the
+    # HeI->HeII stage (f_He at full single ionization, ->0 as HeI forms);
+    # the brief HeIII era stays closed-form Saha (v_HeIII).
+    def _xhe_e(xhe, i):
+        return jnp.where(v_HeIII[i] > 1e-6, f_He * (1.0 + v_HeIII[i]), xhe)
+
+    def dxHe_dlna(x_H, xhe, T_m, i):
+        """RECFAST singlet-channel effective three-level HeI ODE (Seager et
+        al. 2000; Wong, Moss & Scott 2008 eq. 2): Saha HeI recombines He too
+        EARLY, over-damping the CMB tail; the finite 2^1p escape +
+        two-photon rates delay it by Delta z ~ 100."""
+        x_e = x_H + xhe
+        nH, Hs = n_H[i], H_s[i]
+        aHe = alpha_HeI(T_m)
+        bHe = _beta_HeI(T_m)
+        n_He1s = jnp.maximum(f_He - xhe, 0.0) * nH
+        K_He = lambda_He_2p ** 3 / (8.0 * jnp.pi * Hs)
+        # C factor with the 2^1p<->2^1s Boltzmann weight, written via
+        # inv = exp(-E_2p2s/T)/(K Lambda-weighted 1s pool) so every branch
+        # stays finite as T -> 0 or n_He1s -> 0
+        inv = jnp.exp(jnp.clip(-E_He_2p2s / T_m
+                               - jnp.log(jnp.maximum(K_He * n_He1s, 1e-300)),
+                               -300.0, 300.0))
+        C = (lambda_He_2s1s + inv) / (lambda_He_2s1s + bHe + inv)
+        up = bHe * jnp.exp(jnp.clip(-E_He_2s / T_m, -300.0, 0.0)) * (f_He - xhe)
+        down = aHe * nH * x_e * xhe
+        return C * (up - down) / Hs
+
+    def dxH_dlna(x_H, xhe_e, T_m, i):
+        x_e = x_H + xhe_e
+        nH, Hs = n_H[i], H_s[i]
         aB = alpha_B(T_m, fudge)
         b2 = _beta2(T_m, fudge)
         n_1s = jnp.maximum(1.0 - x_H, 0.0) * nH
@@ -202,49 +264,66 @@ def compute_thermodynamics(omega_b, h, T_cmb, efunc_of_z, YHe=None,
         down = aB * nH * x_e * x_H
         return C * (up - down) / Hs
 
-    def compton_rate(x_H, i):
+    def compton_rate(x_e, i):
         """A = (8 sigma_T a_r T_g^4)/(3 m_e c H) * x_e/(1+f_He+x_e): the
         Compton coupling rate per ln(a)."""
-        x_e = x_H + x_He_e[i]
         return (8.0 * sigma_thomson * a_radiation * T_gamma[i] ** 4
                 / (3.0 * m_electron * constants.c * H_s[i])) * x_e / (1.0 + f_He + x_e)
 
     def step(carry, i):
-        x_H, T_m = carry
+        x_H, xhe, T_m = carry
+
+        # -- HeI: Saha while its own equilibrium still holds (u > 0.99),
+        # then the singlet-channel CN/Newton ODE
+        use_saha_he = u_HeII[i] > 0.99
+        f0_he = dxHe_dlna(x_H, xhe, T_m, i - 1)
+        xhe_ode = xhe + DLNA * f0_he
+        for _ in range(3):  # unrolled: a nested scan would serialize dispatch
+            g = xhe_ode - xhe - 0.5 * DLNA * (f0_he + dxHe_dlna(x_H, xhe_ode, T_m, i))
+            gp = jax.grad(lambda xx: xx - 0.5 * DLNA * dxHe_dlna(x_H, xx, T_m, i))(xhe_ode)
+            xhe_ode = xhe_ode - g / gp
+        xhe_next = jnp.where(use_saha_he, f_He * u_HeII[i],
+                             jnp.clip(xhe_ode, 0.0, f_He))
+        xhe_e0 = _xhe_e(xhe, i - 1)
+        xhe_e1 = _xhe_e(xhe_next, i)
+
         # Saha -> ODE handoff at x = 0.985: late enough that the CN step is
         # past the stiff relaxation (CN is A- but not L-stable and rings if
         # handed the equilibrium regime), early enough that the equilibrium
         # lag is still < 1e-4 in x_e
-        use_saha = x_H_saha[i] > 0.985
+        x_H_saha_i = saha_hydrogen(T_gamma[i], n_H[i], xhe_e1)
+        use_saha = x_H_saha_i > 0.985
 
         # -- x_H: Crank-Nicolson with 3 Newton iterations (f is smooth and
         # mildly nonlinear; the stiff regime is fenced off by the Saha switch)
-        f0 = dxH_dlna(x_H, T_m, i - 1)
+        f0 = dxH_dlna(x_H, xhe_e0, T_m, i - 1)
 
-        def newton(x_new, _):
-            g = x_new - x_H - 0.5 * DLNA * (f0 + dxH_dlna(x_new, T_m, i))
-            gp = jax.grad(lambda xx: xx - 0.5 * DLNA * dxH_dlna(xx, T_m, i))(x_new)
-            return x_new - g / gp, None
-
-        x_ode, _ = jax.lax.scan(newton, x_H + DLNA * f0, None, length=3)
-        x_next = jnp.where(use_saha, x_H_saha[i], jnp.clip(x_ode, 0.0, 1.0))
+        x_ode = x_H + DLNA * f0
+        for _ in range(3):
+            g = x_ode - x_H - 0.5 * DLNA * (f0 + dxH_dlna(x_ode, xhe_e1, T_m, i))
+            gp = jax.grad(lambda xx: xx - 0.5 * DLNA * dxH_dlna(xx, xhe_e1, T_m, i))(x_ode)
+            x_ode = x_ode - g / gp
+        x_next = jnp.where(use_saha, x_H_saha_i, jnp.clip(x_ode, 0.0, 1.0))
 
         # -- T_m: linear ODE T' = -2T + A (T_g - T); CN exactly, attractor
         # branch when the Compton coupling is tight (A >> 1)
-        A0 = compton_rate(x_H, i - 1)
-        A1 = compton_rate(x_next, i)
+        A0 = compton_rate(x_H + xhe_e0, i - 1)
+        A1 = compton_rate(x_next + xhe_e1, i)
         denom = 1.0 + 0.5 * DLNA * (2.0 + A1)
         T_cn = (T_m * (1.0 - 0.5 * DLNA * (2.0 + A0))
                 + 0.5 * DLNA * (A0 * T_gamma[i - 1] + A1 * T_gamma[i])) / denom
         T_attract = T_gamma[i] * (1.0 - 1.0 / jnp.maximum(A1, 2.0))
         T_next = jnp.where(A1 > 50.0, T_attract, T_cn)
-        return (x_next, T_next), (x_next, T_next)
+        return (x_next, xhe_next, T_next), (x_next, xhe_next, T_next)
 
-    init = (x_H_saha[0], T_gamma[0])
-    (_, _), (x_H_tab, T_m_tab) = jax.lax.scan(step, init, jnp.arange(1, N_GRID))
+    init = (x_H_saha[0], f_He * u_HeII[0], T_gamma[0])
+    (_, _, _), (x_H_tab, xhe_tab, T_m_tab) = jax.lax.scan(
+        step, init, jnp.arange(1, N_GRID), unroll=UNROLL)
     x_H_tab = jnp.concatenate([jnp.array([init[0]]), x_H_tab])
-    T_m_tab = jnp.concatenate([jnp.array([init[1]]), T_m_tab])
+    xhe_tab = jnp.concatenate([jnp.array([init[1]]), xhe_tab])
+    T_m_tab = jnp.concatenate([jnp.array([init[2]]), T_m_tab])
 
+    x_He_e = jnp.where(v_HeIII > 1e-6, f_He * (1.0 + v_HeIII), xhe_tab)
     x_e_rec = x_H_tab + x_He_e  # electrons per H, recombination only
 
     # ---- reionization: CAMB-style tanh in y = (1+z)^{3/2} for H + HeII,
