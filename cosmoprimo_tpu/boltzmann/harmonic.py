@@ -41,22 +41,48 @@ N_QUAD_LATE = 1152    # geometric tau-quadrature nodes after recombination
 DK_COARSE = 0.0045    # 1/Mpc; resolves the acoustic phase k r_s of the sources
 DK_FINE = 1.1e-4      # 1/Mpc; resolves the Delta_l(k) oscillation (pi/chi*)
 KMIN = 3e-5           # 1/Mpc
-K_LOG_SWITCH = 0.012  # below: 2%-log spacing, above: uniform DK
+K_LOG_SWITCH = 0.0035  # below: 2%-log spacing, above: uniform tiers
+K_MID = 0.02          # fine-grid mid-tier edge: below it the REIONIZATION
+                      # projection oscillation (period pi/chi_reio ~ 3.3e-4
+                      # 1/Mpc, vs pi/chi* ~ 2.2e-4 for recombination) still
+                      # matters, so the spacing is halved. Measured: 2%-log
+                      # spacing through k ~ 0.005-0.012 aliased BOTH
+                      # oscillations (TT +-3% ringing at l ~ 40-60, TE 13%
+                      # near zeros, EE +6% plateau at l ~ 20-70); uniform
+                      # DK_FINE there hit a 3-samples/period resonance of
+                      # the reionization oscillation (EE +15%).
+
+
+K_LOG_SWITCH_COARSE = 0.012  # coarse grid: log spacing below (the source
+                             # k-structure scale is ~1/eta_rec ~ 0.0036, so
+                             # the ~9-11% log spacing stays well under it
+                             # through this band), DK_COARSE above
 
 
 def coarse_k_grid(kmax, n_log=56, dk=DK_COARSE, kmin=KMIN):
     """Static k grid the Boltzmann hierarchy is integrated on [1/Mpc]."""
-    n_lin = max(2, int(np.ceil((kmax - K_LOG_SWITCH) / dk)) + 1)
-    return np.concatenate([np.geomspace(kmin, K_LOG_SWITCH, n_log, endpoint=False),
-                           np.linspace(K_LOG_SWITCH, kmax, n_lin)])
+    sw = K_LOG_SWITCH_COARSE
+    n_lin = max(2, int(np.ceil((kmax - sw) / dk)) + 1)
+    return np.concatenate([np.geomspace(kmin, sw, n_log, endpoint=False),
+                           np.linspace(sw, kmax, n_lin)])
 
 
 def fine_k_grid(kmax, dk=DK_FINE, rel_log=0.02, kmin=KMIN):
-    """Static k grid the line-of-sight integral is evaluated on [1/Mpc]."""
-    n_log = max(2, int(np.ceil(np.log(K_LOG_SWITCH / kmin) / rel_log)))
-    n_lin = max(2, int(np.ceil((kmax - K_LOG_SWITCH) / dk)) + 1)
-    return np.concatenate([np.geomspace(kmin, K_LOG_SWITCH, n_log, endpoint=False),
-                           np.linspace(K_LOG_SWITCH, kmax, n_lin)])
+    """Static k grid the line-of-sight integral is evaluated on [1/Mpc]:
+    2%-log below K_LOG_SWITCH (sub-oscillation scales), uniform dk/2 up to
+    K_MID (both projection oscillations resolved, see K_MID note), uniform
+    ``dk`` beyond (recombination oscillation only)."""
+    k_mid = min(K_MID, kmax)
+    n_mid = max(2, int(np.ceil((k_mid - K_LOG_SWITCH) / (0.5 * dk))) + 1)
+    parts = [np.geomspace(kmin, K_LOG_SWITCH, max(
+        2, int(np.ceil(np.log(K_LOG_SWITCH / kmin) / rel_log))), endpoint=False),
+        np.linspace(K_LOG_SWITCH, k_mid, n_mid, endpoint=False)]
+    if kmax > k_mid:
+        n_lin = max(2, int(np.ceil((kmax - k_mid) / dk)) + 1)
+        parts.append(np.linspace(k_mid, kmax, n_lin))
+    else:
+        parts.append(np.asarray([k_mid]))
+    return np.concatenate(parts)
 
 
 def sin_K(chi, K):

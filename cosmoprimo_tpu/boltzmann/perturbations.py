@@ -65,17 +65,29 @@ M_TAB = 8192       # uniform-ln(eta) coefficient tables
 ALPHA_PHASE = 0.5  # deta <= ALPHA/k   (~22 samples per acoustic cycle)
 BETA_LN = 0.004    # deta <= BETA eta
 KAPPA_SAFE = 0.45  # deta <= KAPPA_SAFE * 2.8 / kappa' in the release band
-TCA_TRIGGER = 50.0  # tight coupling while kappa' > TRIGGER * max(k, aH)
+# Tight coupling while kappa' > TRIGGER_AH * aH AND kappa' > TRIGGER_K * k.
+# The two branches were tuned SEPARATELY against the no-TCA stiff-BDF
+# oracle (scripts/dev_ee_oracle.py, dev_oracle_sources.py):
+# - aH branch 120 (not the CLASS-like 50): for low k the first-order TCA
+#   quadrupole is ~3% low at release and the hierarchy needs the extra
+#   time to relax Pi before the visibility peak (E-source amplitude bias
+#   1.033 -> 1.0003; EE trough l ~ 20-45 was +7% in Cl). Costs ~10-30
+#   extra kappa'-resolved steps per lane.
+# - k branch 50: for k >~ 0.1/Mpc a LONGER explicit stiff stretch is
+#   counterproductive - the kappa'-limited RK4 steps accumulate a
+#   relaxation deficit (sources -2.2% g-weighted at k = 0.18 with 120 vs
+#   -1.1% with 50; TT at l = 2500 regressed -1.7% -> -4.1%).
+TCA_TRIGGER_AH = 120.0
+TCA_TRIGGER_K = 50.0
 RSA_KETA = 45.0    # streaming once k eta > 45 and eta > eta(z~900)
 POISSON_KAH = 2.5  # pin phi to the Poisson constraint where k > POISSON_KAH * aH
 
-# lax.scan unroll for the hierarchy integration: each RK4 step over the
-# (n_state, nk) lanes is latency-bound at small batch (the arrays are far
-# below the chip's bandwidth saturation point), so packing UNROLL steps per
-# loop iteration amortizes dispatch. The step body is large (4 deriv_full
-# evaluations + projections), so compile time grows with UNROLL - keep
-# moderate.
-UNROLL = int(_os.environ.get('NATIVE_UNROLL_PERT', '2'))
+# lax.scan unroll for the hierarchy integration. Measured on the v5e
+# (scripts/dev_native_perf.py, batch 8, nk 256): unroll=2 gained only 4%
+# (20.2 s -> 19.3 s per batch) while the relay compile went 917 s ->
+# 3313 s - XLA's loop overhead is already negligible against the f64
+# step body, so the default stays 1 (env knob kept for studies).
+UNROLL = int(_os.environ.get('NATIVE_UNROLL_PERT', '1'))
 
 _C_KMS = constants.c / 1e3
 
@@ -294,7 +306,8 @@ def build_time_grids(tabs, k, n_steps_a=None, n_steps_b=None):
     kpm, Hcm = tabs['kp'], tabs['Hc']
     eta0 = tabs['eta0']
     k = k[:, None]                                     # (nk, 1)
-    tca_off = kpm[None, :] < TCA_TRIGGER * jnp.maximum(k, Hcm[None, :])
+    tca_off = ((kpm[None, :] < TCA_TRIGGER_AH * Hcm[None, :])
+               | (kpm[None, :] < TCA_TRIGGER_K * k))
     dens = jnp.maximum(k / ALPHA_PHASE, 1.0 / (BETA_LN * eta_m)[None, :])
     dens = jnp.maximum(dens, jnp.where(tca_off, kpm[None, :] / (2.8 * KAPPA_SAFE), 0.0))
     seg = 0.5 * (dens[:, 1:] + dens[:, :-1]) * jnp.diff(eta_m)[None, :]
@@ -450,6 +463,14 @@ def _s_l(l, K, k):
     return jnp.sqrt(jnp.maximum(1.0 - (l * l - 1.0) * r, 0.0))
 
 
+def _s_table(L, K, k):
+    """Stacked s_l couplings for l = 0..L+1: (L+2, nk), one fused op for a
+    whole hierarchy ladder (see deriv_full)."""
+    l = jnp.arange(L + 2, dtype=k.dtype)[:, None]
+    r = jnp.minimum(K / k ** 2, _R_CLOSED_MAX)
+    return jnp.sqrt(jnp.maximum(1.0 - (l * l - 1.0) * r[None, :], 0.0))
+
+
 def _metric(y, k, eta, c, am):
     """psi and phi' from the constraints (shared by deriv_full and the
     post-step RSA projection).
@@ -473,7 +494,7 @@ def _metric(y, k, eta, c, am):
     a = jnp.exp(c['lna'])
     phi, tc, tb, tg = y[_I_PHI], y[_I_TC], y[_I_TB], y[_I_TG]
     Fur = y[_I_UR:_I_UR + (LMAX_UR + 1)]
-    tca = (kp > TCA_TRIGGER * Hc) & (kp > TCA_TRIGGER * k)
+    tca = (kp > TCA_TRIGGER_AH * Hc) & (kp > TCA_TRIGGER_K * k)
     ur_rsa = (k * eta) > RSA_KETA
 
     nc_delta, nc_opw_th_k, nc_opw_sig = _ncdm_moments(y, a, am)
@@ -558,78 +579,81 @@ def deriv_full(y, k, eta, c, am):
     dtb = jnp.where(tca, dtb_tca, dtb_full)
     dtg = jnp.where(tca, dtg_tca, dtg_full)
 
-    # --- photon hierarchy l >= 2 (full branch; TCA overwrites after step);
-    # curved couplings: l F_{l-1} -> l s_l F_{l-1}, (l+1) F_{l+1} ->
-    # (l+1) s_{l+1} F_{l+1} (CLASS's non-flat hierarchy, s_l = 1 when flat)
+    # --- free-streaming hierarchies, VECTORIZED over l (one fused
+    # (L, nk) ladder per species instead of per-l Python expressions: on
+    # the v5e the scan step is kernel-count-bound, and the stacked per-l
+    # form lowered to ~100 extra tiny kernels per deriv evaluation).
+    # Ladder: dX_l = pre/(2l+1) (l s_l X_{l-1} - (l+1) s_{l+1} X_{l+1})
+    # with s_l = sqrt(1 - (l^2-1) K/k^2) (MB95 flat; CLASS non-flat
+    # couplings), the MB95 eq. 65 closure at l = L, and per-l sources
+    # added on top. The l = 0, 1 special forms ARE the ladder rows
+    # (s_1 = 1) plus their sources, so no branching is needed.
     PI = Fg2 + G[0] + G[2]
     F1 = 4.0 * tg / (3.0 * k)
-    Fg_all = jnp.concatenate([F1[None], Fg], axis=0)  # Fg_all[i] = F_{i+1}
-    dFg = []
-    for l in range(2, LMAX_G + 1):
-        Fm = Fg_all[l - 2]                            # F_{l-1}
-        Fp = Fg_all[l] if l < LMAX_G else (
-            ((2.0 * LMAX_G + 1.0) / (k * eta)) * Fg_all[LMAX_G - 1] - Fg_all[LMAX_G - 2])
-        if l == 2:
-            scat = -kp * (0.9 * Fg_all[1] - 0.1 * (G[0] + G[2]))
-        else:
-            scat = -kp * Fg_all[l - 1]
-        d = k / (2.0 * l + 1.0) * (l * _s_l(l, K, k) * Fm
-                                   - (l + 1.0) * _s_l(l + 1, K, k) * Fp) + scat
-        dFg.append(d)
-    dFg = jnp.stack(dFg)
 
-    # polarization (curved spin-2 couplings approximated by the scalar s_l
-    # factors: the difference is O(K/k^2) on a term that only feeds back
-    # into P(k) through Silk damping; Cls are served for flat models only)
-    dG = []
-    for l in range(0, LMAX_POL + 1):
-        Gm = G[l - 1] if l > 0 else jnp.zeros_like(G[0])
-        Gp = G[l + 1] if l < LMAX_POL else (
-            ((2.0 * LMAX_POL + 1.0) / (k * eta)) * G[LMAX_POL] - G[LMAX_POL - 1])
-        src = 0.5 * PI if l == 0 else (0.1 * PI if l == 2 else 0.0)
-        d = k / (2.0 * l + 1.0) * (l * _s_l(l, K, k) * Gm
-                                   - (l + 1.0) * _s_l(l + 1, K, k) * Gp) + kp * (-G[l] + src)
-        dG.append(d)
-    dG = jnp.stack(dG)
+    # photon temperature l = 2..LMAX_G (rows F_2.. of the state)
+    s_g = _s_table(LMAX_G, K, k)
+    ells_g = jnp.arange(2.0, LMAX_G + 1.0)[:, None]
+    Fg_all = jnp.concatenate([F1[None], Fg], axis=0)  # F_1 .. F_LMAX_G
+    closure_g = ((2.0 * LMAX_G + 1.0) / (k * eta)) * Fg_all[-1] - Fg_all[-2]
+    Fp_g = jnp.concatenate([Fg_all[2:], closure_g[None]], axis=0)
+    # scattering: -kp F_l, with the l = 2 row carrying the polarization
+    # feedback -kp (0.9 F_2 - 0.1 (G_0 + G_2))
+    scat_g = -kp * Fg_all[1:]
+    scat_g = scat_g.at[0].add(kp * (0.1 * Fg_all[1] + 0.1 * (G[0] + G[2])))
+    dFg = (k / (2.0 * ells_g + 1.0) * (ells_g * s_g[2:LMAX_G + 1] * Fg_all[:-1]
+                                       - (ells_g + 1.0) * s_g[3:LMAX_G + 2] * Fp_g)
+           + scat_g)
 
-    # massless neutrinos
-    dUr = []
-    for l in range(0, LMAX_UR + 1):
-        if l == 0:
-            d = -k * Fur[1] + 4.0 * phip
-        elif l == 1:
-            d = k / 3.0 * (Fur[0] - 2.0 * s2 * Fur[2]) + (4.0 / 3.0) * k * psi
-        else:
-            Fp = Fur[l + 1] if l < LMAX_UR else (
-                ((2.0 * LMAX_UR + 1.0) / (k * eta)) * Fur[LMAX_UR] - Fur[LMAX_UR - 1])
-            d = k / (2.0 * l + 1.0) * (l * _s_l(l, K, k) * Fur[l - 1]
-                                       - (l + 1.0) * _s_l(l + 1, K, k) * Fp)
-        dUr.append(d)
-    # frozen under RSA; the post-step projection holds the algebraic values
-    dUr = jnp.where(ur_rsa, 0.0, jnp.stack(dUr))
+    # polarization l = 0..LMAX_POL (curved spin-2 couplings approximated by
+    # the scalar s_l factors: the difference is O(K/k^2) on a term that
+    # only feeds back into P(k) through Silk damping)
+    s_p = _s_table(LMAX_POL, K, k)
+    ells_p = jnp.arange(0.0, LMAX_POL + 1.0)[:, None]
+    Gm = jnp.concatenate([jnp.zeros_like(G[:1]), G[:-1]], axis=0)
+    closure_p = ((2.0 * LMAX_POL + 1.0) / (k * eta)) * G[-1] - G[-2]
+    Gp = jnp.concatenate([G[1:], closure_p[None]], axis=0)
+    src_p = jnp.zeros_like(G).at[0].set(0.5 * PI).at[2].set(0.1 * PI)
+    dG = (k / (2.0 * ells_p + 1.0) * (ells_p * s_p[:LMAX_POL + 1] * Gm
+                                      - (ells_p + 1.0) * s_p[1:LMAX_POL + 2] * Gp)
+          + kp * (-G + src_p))
 
-    # massive neutrinos (one momentum hierarchy per species)
+    # massless neutrinos l = 0..LMAX_UR; sources 4 phi' (l=0), (4/3) k psi
+    # (l=1); frozen under RSA (the post-step projection holds the values)
+    s_u = _s_table(LMAX_UR, K, k)
+    ells_u = jnp.arange(0.0, LMAX_UR + 1.0)[:, None]
+    Fm_u = jnp.concatenate([jnp.zeros_like(Fur[:1]), Fur[:-1]], axis=0)
+    closure_u = ((2.0 * LMAX_UR + 1.0) / (k * eta)) * Fur[-1] - Fur[-2]
+    Fp_u = jnp.concatenate([Fur[1:], closure_u[None]], axis=0)
+    src_u = (jnp.zeros_like(Fur).at[0].set(4.0 * phip)
+             .at[1].set((4.0 / 3.0) * k * psi))
+    dUr = (k / (2.0 * ells_u + 1.0) * (ells_u * s_u[:LMAX_UR + 1] * Fm_u
+                                       - (ells_u + 1.0) * s_u[1:LMAX_UR + 2] * Fp_u)
+           + src_u)
+    dUr = jnp.where(ur_rsa, 0.0, dUr)
+
+    # massive neutrinos: (ns, NQ, L+1, nk) ladder with pre = qe = q k / eps
     q, _, dlnf0 = _ncdm_q()
     ns = am.shape[0]
-    psi_nc = y[_I_NC:].reshape(ns, NQ_NCDM, LMAX_NCDM + 1, -1)
-    dNc = []
-    for s in range(ns):
-        eps = jnp.sqrt(q[:, None] ** 2 + (a[None, :] * am[s]) ** 2)
-        for j in range(NQ_NCDM):
-            qe = q[j] * k / eps[j]
-            for l in range(0, LMAX_NCDM + 1):
-                if l == 0:
-                    d = -qe * psi_nc[s, j, 1] - phip * dlnf0[j]
-                elif l == 1:
-                    d = qe / 3.0 * (psi_nc[s, j, 0] - 2.0 * s2 * psi_nc[s, j, 2]) - (eps[j] * k / (3.0 * q[j])) * psi * dlnf0[j]
-                else:
-                    Pp = psi_nc[s, j, l + 1] if l < LMAX_NCDM else (
-                        ((2.0 * LMAX_NCDM + 1.0) * eps[j] / (q[j] * k * eta)) * psi_nc[s, j, LMAX_NCDM]
-                        - psi_nc[s, j, LMAX_NCDM - 1])
-                    d = qe / (2.0 * l + 1.0) * (l * _s_l(l, K, k) * psi_nc[s, j, l - 1]
-                                                - (l + 1.0) * _s_l(l + 1, K, k) * Pp)
-                dNc.append(d)
-    dNc = jnp.stack(dNc)
+    Lnc = LMAX_NCDM
+    psi_nc = y[_I_NC:].reshape(ns, NQ_NCDM, Lnc + 1, -1)
+    eps = jnp.sqrt(q[None, :, None] ** 2
+                   + (a[None, None, :] * am[:, None, None]) ** 2)  # (ns, NQ, nk)
+    qe = q[None, :, None] * k / eps                                # (ns, NQ, nk)
+    s_n = _s_table(Lnc, K, k)                                      # (Lnc+2, nk)
+    ells_n = jnp.arange(0.0, Lnc + 1.0)[None, None, :, None]
+    Pm = jnp.concatenate([jnp.zeros_like(psi_nc[:, :, :1]), psi_nc[:, :, :-1]], axis=2)
+    closure_n = (((2.0 * Lnc + 1.0) * eps / (q[None, :, None] * k * eta))
+                 * psi_nc[:, :, Lnc] - psi_nc[:, :, Lnc - 1])      # (ns, NQ, nk)
+    Pp = jnp.concatenate([psi_nc[:, :, 1:], closure_n[:, :, None]], axis=2)
+    src_n = jnp.zeros_like(psi_nc)
+    src_n = src_n.at[:, :, 0].add(-phip[None, None, :] * dlnf0[None, :, None])
+    src_n = src_n.at[:, :, 1].add(-(eps * k / (3.0 * q[None, :, None]))
+                                  * psi[None, None, :] * dlnf0[None, :, None])
+    dNc = (qe[:, :, None] / (2.0 * ells_n + 1.0)
+           * (ells_n * s_n[None, None, :Lnc + 1] * Pm
+              - (ells_n + 1.0) * s_n[None, None, 1:Lnc + 2] * Pp)
+           + src_n).reshape(ns * NQ_NCDM * (Lnc + 1), -1)
 
     return jnp.concatenate([jnp.stack([phip, ddc, dtc, ddb, dtb, ddg, dtg, ddde, dtde]),
                             dFg, dG, dUr, dNc], axis=0)
@@ -659,7 +683,7 @@ def _drag_etd(y0, y1, k, d, cm, c1):
     S_new = S0 * e + d * phi1 * D
     V = (y1[_I_TB] + R * y1[_I_TG]) / (1.0 + R)
 
-    tca = (c1['kp'] > TCA_TRIGGER * c1['Hc']) & (c1['kp'] > TCA_TRIGGER * k)
+    tca = (c1['kp'] > TCA_TRIGGER_AH * c1['Hc']) & (c1['kp'] > TCA_TRIGGER_K * k)
     tb_new = jnp.where(tca, y1[_I_TB], V + R / (1.0 + R) * S_new)
     tg_new = jnp.where(tca, y1[_I_TG], V - 1.0 / (1.0 + R) * S_new)
     y1 = y1.at[_I_TB].set(tb_new)
@@ -728,7 +752,7 @@ def _tca_project(y, k, c):
     -kappa'(1+R) S damping and leaves an artificial S' ~ 2 aH S growing
     mode (~a^2 over the radiation era - order unity by recombination)."""
     kp, Hc = c['kp'], c['Hc']
-    tca = (kp > TCA_TRIGGER * Hc) & (kp > TCA_TRIGGER * k)
+    tca = (kp > TCA_TRIGGER_AH * Hc) & (kp > TCA_TRIGGER_K * k)
     R = (4.0 / 3.0) * c['fg'] / c['fb']
     s2 = _s_l(2, c['K'], k)
     sig_g = 0.5 * s2 * (32.0 / 45.0) * y[_I_TG] / kp
@@ -740,10 +764,11 @@ def _tca_project(y, k, c):
     y = y.at[_I_FG].set(jnp.where(tca, Fg2, y[_I_FG]))
     y = y.at[_I_GP + 0].set(jnp.where(tca, 1.25 * Fg2, y[_I_GP + 0]))
     y = y.at[_I_GP + 2].set(jnp.where(tca, 0.25 * Fg2, y[_I_GP + 2]))
-    for idx in range(_I_FG + 1, _I_FG + (LMAX_G - 1)):
-        y = y.at[idx].set(jnp.where(tca, 0.0, y[idx]))
-    for l in (1,) + tuple(range(3, LMAX_POL + 1)):
-        y = y.at[_I_GP + l].set(jnp.where(tca, 0.0, y[_I_GP + l]))
+    sl = slice(_I_FG + 1, _I_FG + (LMAX_G - 1))
+    y = y.at[sl].set(jnp.where(tca, 0.0, y[sl]))
+    y = y.at[_I_GP + 1].set(jnp.where(tca, 0.0, y[_I_GP + 1]))
+    sl = slice(_I_GP + 3, _I_GP + LMAX_POL + 1)
+    y = y.at[sl].set(jnp.where(tca, 0.0, y[sl]))
     return y
 
 

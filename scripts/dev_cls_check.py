@@ -46,10 +46,15 @@ gcl = {'tt': 1, 'ee': 2, 'te': 4}
 raw = cls['raw_sampled']
 els = cls['ells_sampled']
 print('=== sampled-ell comparison (raw, no spline) ===')
+gv_tt = np.interp(els, gold[:, 0], gold[:, 1]) / (els * (els + 1.0) / (2 * np.pi)) / TCMB_MUK_ ** 2
+gv_ee = np.interp(els, gold[:, 0], gold[:, 2]) / (els * (els + 1.0) / (2 * np.pi)) / TCMB_MUK_ ** 2
 for name, c in gcl.items():
     gv = np.interp(els, gold[:, 0], gold[:, c]) / (els * (els + 1.0) / (2 * np.pi)) / TCMB_MUK_ ** 2
     ov = np.asarray(raw[name])
-    rel = (ov - gv) / np.maximum(np.abs(gv), np.abs(gv).max() * 1e-3)
+    # local normalization: |gold| for tt/ee (no zeros); te against its
+    # geometric-mean envelope sqrt(tt*ee) so zero crossings don't blow up
+    norm = np.sqrt(gv_tt * gv_ee) if name == 'te' else np.abs(gv)
+    rel = (ov - gv) / norm
     order = np.argsort(-np.abs(rel))
     print(f'  {name}: max|rel|={np.abs(rel).max():.4f} median={np.median(np.abs(rel)):.4f} '
           f'worst at l={els[order[:6]]}, rel={np.round(rel[order[:6]], 4)}')

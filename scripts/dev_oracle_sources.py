@@ -16,9 +16,17 @@ import jax.numpy as jnp
 
 sys.path.insert(0, '/root/repo')
 sys.path.insert(0, '/root/repo/tests')
+import os
+
 from cosmoprimo_tpu.fiducial import DESI
+from cosmoprimo_tpu.boltzmann import perturbations
 from cosmoprimo_tpu.boltzmann.perturbations import compute_los_sources
 from boltzmann_oracle import run_oracle
+
+if os.environ.get('DEV_TCA_TRIGGER'):  # sets BOTH branches
+    perturbations.TCA_TRIGGER_AH = float(os.environ['DEV_TCA_TRIGGER'])
+    perturbations.TCA_TRIGGER_K = float(os.environ['DEV_TCA_TRIGGER'])
+    print(f'TCA_TRIGGER={perturbations.TCA_TRIGGER_AH}', flush=True)
 
 cosmo = DESI(engine='native')
 th = cosmo.get_thermodynamics().table

@@ -10,12 +10,12 @@ external CLASS/CAMB C build; this suite certifies the native line-of-sight
 pipeline (boltzmann/harmonic.py) and the correlation-function lensing
 convolution (boltzmann/lensing.py) end to end through the Cosmology API.
 
-Enforced accuracy (DESI fiducial, ellmax_cl=800): TT within 1.5% for
-l >= 100 and 3-4% below; EE within 1.5% for l >= 150 (up to ~10% through
-the reionization bump, where RECFAST-vs-HyRec recombination detail
-dominates); TE within 8% of its local value at non-crossing multipoles;
-lensing potential within 3-12% (this fixture's ellmax-800 kmax support);
-lensed TT within 1.5% including the smoothing signature at l = 800.
+Enforced accuracy (DESI fiducial, ellmax_cl=800): TT within 1.2%
+everywhere; EE within 2.5% through the reionization bump and 1.2% for
+l >= 150; TE within 3% of its local value at non-crossing multipoles;
+lensing potential within 2.5% over the exact-LOS core (8% at its l ~ 40
+worst point); lensed TT within 1.5% including the smoothing signature
+at l = 800.
 These bars are measured at THIS run's ellmax_cl = 800; the SHIPPED
 DEFAULT (ellmax_cl = 2500 with the Limber pp blend) is separately
 regression-protected by test_default_lmax2500_spot_check — TT/EE ~1% at
@@ -77,15 +77,15 @@ def _band_assert(ours, truth, bands, name):
 @pytest.mark.slow
 def test_unlensed_tt_vs_class(harmonic_run):
     unl = harmonic_run[0]
-    _band_assert(unl['tt'], TT, [(2, 30, 3e-2), (40, 80, 4e-2), (100, 800, 1.5e-2)], 'TT')
+    _band_assert(unl['tt'], TT, [(2, 30, 1e-2), (40, 80, 1e-2), (100, 800, 1.2e-2)], 'TT')
 
 
 @pytest.mark.slow
 def test_unlensed_ee_te_vs_class(harmonic_run):
     unl = harmonic_run[0]
-    _band_assert(unl['ee'], EE, [(2, 5, 8e-2), (10, 80, 1.2e-1), (150, 800, 1.5e-2)], 'EE')
+    _band_assert(unl['ee'], EE, [(2, 5, 2e-2), (10, 80, 2.5e-2), (150, 800, 1.2e-2)], 'EE')
     # the sampled TE multipoles sit away from zero crossings: plain rtol works
-    _band_assert(unl['te'], TE, [(2, 800, 8e-2)], 'TE')
+    _band_assert(unl['te'], TE, [(2, 800, 3e-2)], 'TE')
     assert np.all(unl['bb'] == 0.0)  # scalar-only unlensed BB
 
 
@@ -96,7 +96,7 @@ def test_lens_potential_vs_class(harmonic_run):
     # certified separately in test_default_lmax2500_spot_check — pp within
     # 1.2% through the whole Limber regime l in [250, 2500]
     pot = harmonic_run[1]
-    _band_assert(pot['pp'], PP, [(2, 40, 1e-1), (80, 350, 6e-2), (500, 800, 2e-1)], 'pp')
+    _band_assert(pot['pp'], PP, [(2, 40, 8e-2), (80, 350, 2.5e-2), (500, 800, 6e-2)], 'pp')
 
 
 @pytest.mark.slow
@@ -157,10 +157,11 @@ def test_default_lmax2500_spot_check():
     heuristics, Limber lensing-potential blend) vs the archived CLASS
     table — so the default is regression-protected, not just dev-measured.
 
-    Bars are the scripts/dev_cls_check.py 2500 post-Limber measurements
-    (2026-08) x ~1.5 margin: TT -0.5% at l in [1000, 2000] and -3.9% at
-    l = 2500 (damping-tail physics, tracked in doc/roadmap.md); EE <= 1.3%
-    at l >= 1000; lensing potential <= 1.2% through the whole Limber
+    Bars are the scripts/dev_cls_check.py 2500 measurements (2026-08,
+    post HeI-ODE + split-TCA-trigger + decoupled k grids) x ~1.5 margin:
+    TT <= 1.2% at l in [1000, 2000] and -1.7% at l = 2500 (remaining
+    damping-tail physics, tracked in doc/roadmap.md); EE <= 1.1% at the
+    sampled l >= 1000; lensing potential <= 1.2% through the whole Limber
     regime l in [250, 2500] including the exact/Limber blend window
     [250, 420] (a blend discontinuity would break the 2.5% band there)."""
     cosmo = DESI(engine='native')
@@ -180,9 +181,9 @@ def test_default_lmax2500_spot_check():
         return np.asarray(ours)[gl[i]] / theirs[i] - 1.0
 
     tt = rel(unl['tt'], g_tt, [1000, 1500, 2000])
-    np.testing.assert_allclose(tt, 0.0, atol=1.2e-2)
+    np.testing.assert_allclose(tt, 0.0, atol=1.8e-2)
     tt_edge = rel(unl['tt'], g_tt, [2500])
-    np.testing.assert_allclose(tt_edge, 0.0, atol=5.5e-2)
+    np.testing.assert_allclose(tt_edge, 0.0, atol=3e-2)
     ee = rel(unl['ee'], g_ee, [1000, 1500, 2000, 2500])
     np.testing.assert_allclose(ee, 0.0, atol=2e-2)
     # lensing potential: the Limber regime the ellmax-800 fixture never
