@@ -21,7 +21,7 @@ moments in TEMPERATURE units):
   neutrinos   FN_0' = -k FN_1 - h'/2 ; FN_l' = advection            (l >= 1)
   Psi = FT0/10 + FT2/7 + 3 FT4/70 - 3 FP0/5 + 6 FP2/7 - 3 FP4/70
 
-Tight coupling (kappa' > TCA_TRIGGER max(k, aH)) is algebraic: the towers
+Tight coupling (kappa' > TRIGGER_AH aH and > TRIGGER_K k) is algebraic: the towers
 are slaved to FT0 = -(2/3) h'/kappa', FP0 = h'/(6 kappa') (quasi-steady
 solution of the l=0 pair with Psi = FT0/4), their derivatives frozen.
 
@@ -56,7 +56,7 @@ import numpy as np
 from . import bessel
 from .harmonic import (DK_FINE, _hermite_gather, _trapz_weights,
                        coarse_k_grid, fine_k_grid, _spline_to_integers)
-from .perturbations import TCA_TRIGGER, _fetch, build_tables, _thermo
+from .perturbations import TCA_TRIGGER_AH, TCA_TRIGGER_K, _fetch, build_tables, _thermo
 from ..ops.spline import cubic_eval, linear_eval, natural_cubic_coeffs
 
 LMAX_T = 8     # photon tensor temperature tower FT_0..FT_LMAX_T
@@ -82,7 +82,8 @@ def tensor_time_grid(tabs, k):
     kpm, Hcm = tabs['kp'], tabs['Hc']
     eta0 = tabs['eta0']
     k = k[:, None]
-    tca_off = kpm[None, :] < TCA_TRIGGER * jnp.maximum(k, Hcm[None, :])
+    tca_off = ((kpm[None, :] < TCA_TRIGGER_AH * Hcm[None, :])
+               | (kpm[None, :] < TCA_TRIGGER_K * k))
     dens = jnp.maximum(k / ALPHA_T, 1.0 / (BETA_T * eta_m)[None, :])
     dens = jnp.maximum(dens, jnp.where(tca_off, kpm[None, :] / (2.8 * KAPPA_SAFE_T), 0.0))
     seg = 0.5 * (dens[:, 1:] + dens[:, :-1]) * jnp.diff(eta_m)[None, :]
@@ -117,7 +118,7 @@ def deriv_tensor(y, k, eta, c):
     FT = y[_I_T:_I_T + (LMAX_T + 1)]
     FP = y[_I_P:_I_P + (LMAX_P + 1)]
     FN = y[_I_N:_I_N + (LMAX_N + 1)]
-    tca = (kp > TCA_TRIGGER * Hc) & (kp > TCA_TRIGGER * k)
+    tca = (kp > TCA_TRIGGER_AH * Hc) & (kp > TCA_TRIGGER_K * k)
     Psi = _psi_pol(y)
 
     # anisotropic-stress feedback on the wave: Pi_+ = (rho/4) * brightness
@@ -162,7 +163,7 @@ def _tca_project_tensor(y, k, c):
     (solution of 0 = -h'/2 - kappa'(FT0 - Psi), 0 = -kappa'(FP0 + Psi)
     with Psi = FT0/4), all higher moments zero."""
     kp, Hc = c['kp'], c['Hc']
-    tca = (kp > TCA_TRIGGER * Hc) & (kp > TCA_TRIGGER * k)
+    tca = (kp > TCA_TRIGGER_AH * Hc) & (kp > TCA_TRIGGER_K * k)
     hp = y[_I_HP]
     y = y.at[_I_T].set(jnp.where(tca, -(2.0 / 3.0) * hp / kp, y[_I_T]))
     y = y.at[_I_P].set(jnp.where(tca, hp / (6.0 * kp), y[_I_P]))

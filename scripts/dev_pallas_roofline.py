@@ -60,7 +60,7 @@ def timeit(fn, *args, nrep=5):
 
 # probe a 'pair' instance for the padded geometry + Mellin kernel
 tp_probe = TophatVariance(k, engine='pair')
-fl = tp_probe.fftlog
+fl = tp_probe  # TophatVariance IS an FFTlog
 npad = int(fl.padded_size)
 log(f'padded transform length: {npad}')
 
@@ -78,10 +78,13 @@ t_fft = timeit(fft_f32, x32)
 log(f'1. f32 rfft+irfft        : {t_fft * 1e3:7.2f} ms  ({NB / t_fft:9.0f} /s)')
 
 # 2. full f32 FFTLog (plain single precision - what df32 fixes accuracy-wise)
+# complex constants cannot cross the relay boundary eagerly: ship real/imag
+# f32 planes and rebuild the complex kernel inside the jit
 pre32 = jnp.asarray(np.asarray(fl.padded_prefactor), dtype=jnp.float32)
 post32 = jnp.asarray(np.real(np.asarray(fl.padded_postfactor)), dtype=jnp.float32)
 u_np = np.asarray(fl.padded_u)
-u32 = jnp.asarray(u_np.astype(np.complex64))
+u_re = jnp.asarray(np.real(u_np), dtype=jnp.float32)
+u_im = jnp.asarray(np.imag(u_np), dtype=jnp.float32)
 li, ri = int(fl.padded_size_in_left), int(fl.padded_size_in_right)
 
 
@@ -89,7 +92,8 @@ li, ri = int(fl.padded_size_in_left), int(fl.padded_size_in_right)
 def fftlog_f32(f):
     fp = jnp.pad(f.astype(jnp.float32), ((0, 0), (li, ri)))
     s = jnp.fft.rfft(fp * pre32, axis=-1)
-    out = jnp.fft.irfft(s * u32[: s.shape[-1]], n=npad, axis=-1) * post32
+    u = jax.lax.complex(u_re[: s.shape[-1]], u_im[: s.shape[-1]])
+    out = jnp.fft.irfft(s * u, n=npad, axis=-1) * post32
     return jnp.sum(out)
 
 
