@@ -365,19 +365,20 @@ class Harmonic(BaseSection):
     the reference can only import from an external CLASS/CAMB build.
 
     Accuracy vs the archived CLASS v3.1.1 spectra (DESI fiducial),
-    CI-enforced by tests/test_harmonic.py (banded bars at ellmax 800) and
-    measured across the full default window l <= 2500 at the current
-    Poisson-pinned solver (doc/parity.md carries the table): TT within
-    ~1.1% for l <= 100 and 0.7% for 100 <= l <= 2000 (-3.9% at l = 2500);
-    EE within 6.5% through the reionization shoulder (l ~ 5-50, where
-    RECFAST-vs-HyRec recombination detail dominates) and 1.3% for
-    l >= 150; TE within a few % of the local envelope away from zero
-    crossings; lensing potential within 6.7% at l <= 100 (exact-LOS
-    region) and 1.2% through the Limber regime l in [250, 2500]; lensed
-    spectra add <0.3% convolution error on top of the unlensed inputs
-    (the standalone convolution reproduces CLASS lensed from CLASS
-    unlensed to that level). With r > 0 the tensor
-    contributions (boltzmann/tensor.py) are included and BB is non-zero.
+    CI-enforced by tests/test_harmonic.py (banded bars at ellmax 800,
+    default-config lmax-2500 and lmax-3500 spot checks) and measured to
+    l = 5000 (doc/parity.md carries the table): TT within 0.3% for
+    l <= 100, 1.2% for 100 <= l <= 2000, -1.7% at l = 2500; EE within
+    1.7% through the reionization shoulder and 2.7% at high l; TE within
+    1.5% of the sqrt(TT*EE) envelope; lensing potential within 6.7% at
+    l <= 100 (exact-LOS region) and 1.2% through the Limber regime
+    l in [250, 2500]; lensed spectra add <0.3% convolution error on top
+    of the unlensed inputs. ``ellmax_cl`` is served up to 5000 (the
+    archived truth's extent) with the RECFAST-grade damping tail
+    degrading smoothly: TT -2.9% at l = 3000, -5.2% at 3500, -11% at
+    5000 (EE similar; the tau quadrature scales with lmax so no
+    aliasing noise floor remains). With r > 0 the tensor contributions
+    (boltzmann/tensor.py) are included and BB is non-zero.
     """
 
     def __init__(self, engine):
