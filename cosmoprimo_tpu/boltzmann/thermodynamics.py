@@ -132,6 +132,18 @@ def _beta2(T_m, fudge=1.14):
     return alpha_B(T_m, fudge) * jnp.exp(jnp.clip(lng - B2_H / T_m, -300.0, 300.0))
 
 
+HEI_ESCAPE_SCALE = float(os.environ.get('NATIVE_HEI_ESCAPE_SCALE', '1.0'))
+"""Multiplier on the HeI 2^1p Sobolev escape channel, standing in for the
+neutral-hydrogen continuum-opacity acceleration (Kholupenko et al. 2007;
+RECFAST's Heflag >= 2 terms): H 1s photoionization destroys He 58.4 nm
+line photons, speeding HeI recombination relative to the pure singlet
+channel. A/B-measured against the archived CLASS (HyRec) Cl golden
+(scale 1/2/4 at lmax 2500): acceleration trades the mid-l band for the
+damping edge (TT l=1000 +1.2 -> +0.9%, but l=2500 -1.7 -> -2.6% and
+max EE 2.7 -> 3.3%) - the minimax optimum is NO acceleration, so the
+default stays 1.0."""
+
+
 def alpha_HeI(T_m):
     """HeI singlet case-B recombination coefficient [m^3/s]: the
     Verner & Ferland (1996) fit with the RECFAST parameters
@@ -244,9 +256,10 @@ def compute_thermodynamics(omega_b, h, T_cmb, efunc_of_z, YHe=None,
         # C factor with the 2^1p<->2^1s Boltzmann weight, written via
         # inv = exp(-E_2p2s/T)/(K Lambda-weighted 1s pool) so every branch
         # stays finite as T -> 0 or n_He1s -> 0
-        inv = jnp.exp(jnp.clip(-E_He_2p2s / T_m
-                               - jnp.log(jnp.maximum(K_He * n_He1s, 1e-300)),
-                               -300.0, 300.0))
+        inv = HEI_ESCAPE_SCALE * jnp.exp(
+            jnp.clip(-E_He_2p2s / T_m
+                     - jnp.log(jnp.maximum(K_He * n_He1s, 1e-300)),
+                     -300.0, 300.0))
         C = (lambda_He_2s1s + inv) / (lambda_He_2s1s + bHe + inv)
         up = bHe * jnp.exp(jnp.clip(-E_He_2s / T_m, -300.0, 0.0)) * (f_He - xhe)
         down = aHe * nH * x_e * xhe
