@@ -186,6 +186,10 @@ def test_default_lmax2500_spot_check():
     np.testing.assert_allclose(tt_edge, 0.0, atol=3e-2)
     ee = rel(unl['ee'], g_ee, [1000, 1500, 2000, 2500])
     np.testing.assert_allclose(ee, 0.0, atol=2e-2)
+    # the EE damping band's worst oscillation sits off the decade points
+    # (measured +2.7% at l ~ 2100, dev_cls_check 2500): pin it separately
+    ee_osc = rel(unl['ee'], g_ee, [2100])
+    np.testing.assert_allclose(ee_osc, 0.0, atol=4e-2)
     # lensing potential: the Limber regime the ellmax-800 fixture never
     # reaches, plus the exact/Limber blend window
     pp_hi = rel(pot['pp'], g_pp, [600, 1000, 1500, 2000, 2500])
