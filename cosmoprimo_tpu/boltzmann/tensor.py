@@ -54,10 +54,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import bessel
-from .harmonic import (DK_FINE, _hermite_gather, _trapz_weights,
-                       coarse_k_grid, fine_k_grid, _spline_to_integers)
-from .perturbations import TCA_TRIGGER_AH, TCA_TRIGGER_K, _fetch, build_tables, _thermo
+from .harmonic import (DK_FINE, KMIN, _hermite_gather, _trapz_weights,
+                       coarse_k_grid, fine_k_grid, sin_K, _spline_to_integers)
+from .perturbations import TCA_TRIGGER_AH, TCA_TRIGGER_K, _C_KMS, _fetch, build_tables, _thermo
 from ..ops.spline import cubic_eval, linear_eval, natural_cubic_coeffs
+
+
+def tensor_cl_kmin(K, kmin=KMIN):
+    """Smallest propagating tensor wavenumber [1/Mpc]: the tensor radial
+    eigenvalue is q^2 = k^2 + 3K (vs k^2 + K for scalars). Open: q^2 > 0
+    needs k^2 > -3K. Closed: the discrete tensor eigenmodes have
+    q = nu sqrt(K), integer nu >= 3, i.e. k^2 >= (9 - 3) K = 6 K."""
+    if K < 0.0:
+        return max(kmin, 1.05 * np.sqrt(-3.0 * K))
+    if K > 0.0:
+        return max(kmin, np.sqrt(6.0 * K))
+    return kmin
 
 LMAX_T = 8     # photon tensor temperature tower FT_0..FT_LMAX_T
 LMAX_P = 8     # photon tensor polarization tower
@@ -242,7 +254,8 @@ def project_tensor_sources(src, ell_list, tables, P_T, dk_fine=DK_FINE,
     raw C_l arrays: tt, ee, bb, te."""
     k_c = src['k']
     kmax = float(k_c[-1])
-    k_f = jnp.asarray(fine_k_grid(kmax, dk=dk_fine))
+    K = float(src.get('K', 0.0))
+    k_f = jnp.asarray(fine_k_grid(kmax, dk=dk_fine, kmin=tensor_cl_kmin(K)))
     tau_h, eta0 = src['tau'], src['eta0']
     g, emk = src['g'], src['emk']
 
@@ -270,7 +283,16 @@ def project_tensor_sources(src, ell_list, tables, P_T, dk_fine=DK_FINE,
     jp_tab_raw = jnp.asarray(jp_tab, dtype=rdtype)
 
     chi_q = (eta0 - tau_q).astype(rdtype)
-    x = k_f.astype(rdtype)[:, None] * chi_q[None, :]
+    # radial projection: flat x = k chi; curved (|Omega_k| <= 0.12, same
+    # window as the scalar section) the geodesic approximation
+    # x = q S_K(chi) with the TENSOR eigenvalue q^2 = k^2 + 3K - the same
+    # O(K/q^2) mapping whose scalar counterpart is oracle-certified in
+    # tests/test_curved_harmonic.py; the tensor mode EVOLUTION keeps the
+    # flat-space wave operator (an O(K/k^2) approximation of the same
+    # order, inside the documented ~10% tensor budget).
+    q_f = jnp.sqrt(jnp.maximum(k_f.astype(rdtype) ** 2 + rdtype.type(3.0 * K),
+                               rdtype.type(0.0)))
+    x = q_f[:, None] * sin_K(chi_q, K)[None, :].astype(rdtype)
     u = x / rdtype.type(dx)
     w_q = _trapz_weights(tau_q).astype(rdtype)
 
@@ -314,8 +336,16 @@ def compute_tensor_cls(params, thermo, lmax=600, kmax=None, ells=None):
         ells = bessel.default_ells(lmax)
     ells = np.asarray(ells)
 
-    k_c = jnp.asarray(coarse_k_grid(kmax))
+    # spatial curvature [1/Mpc^2], static like the scalar Cl path
+    import jax.errors as _jerr
+    try:
+        K = -float(params.get('omega_k', 0.0)) * (100.0 / _C_KMS) ** 2
+    except (_jerr.ConcretizationTypeError, _jerr.TracerArrayConversionError):
+        K = 0.0
+
+    k_c = jnp.asarray(coarse_k_grid(kmax, kmin=tensor_cl_kmin(K)))
     src = compute_tensor_sources(params, thermo, k_c)
+    src['K'] = K
 
     r, As, kp = params['r'], params['A_s'], params['k_pivot']
     n_t = params.get('n_t', 0.0)
@@ -326,6 +356,12 @@ def compute_tensor_cls(params, thermo, lmax=600, kmax=None, ells=None):
         return r * As * (k / kp) ** (n_t + 0.5 * alpha_t * lnkkp)
 
     x_max = float(kmax) * 1.05 * 16000.0
+    if K < 0.0:  # open: the projection argument carries the sinh stretch
+        u_h = np.sqrt(-K) * 16000.0
+        x_max *= float(np.sinh(u_h) / u_h)
+    # q > k for tensors in closed space too: widen by the worst eigenvalue
+    if K > 0.0:
+        x_max *= float(np.sqrt(1.0 + 3.0 * K / tensor_cl_kmin(K) ** 2))
     tables = bessel.bessel_tables(ells, x_max)
     raw = project_tensor_sources(src, ells, tables, P_T)
 

@@ -32,7 +32,8 @@ couplings, boltzmann/perturbations.py _curv). The CMB Harmonic section
 serves scalar Cls for |Omega_k| <= 0.12 via the geodesic radial
 projection j_l(q S_K(chi)) (boltzmann/harmonic.py; certified against an
 exact hyperspherical-Bessel oracle in tests/test_curved_harmonic.py) and
-raises beyond that window; tensor Cls (r > 0) remain flat-only.
+raises beyond that window; tensor Cls (r > 0) share it via the
+geodesic projection with the tensor eigenvalue q^2 = k^2 + 3K.
 """
 
 import numpy as np
@@ -68,8 +69,9 @@ class NativeEngine(BaseEngine):
         share the standard T_ncdm. Spatial curvature (omega_k) enters the
         solver's background and Einstein constraints (boltzmann/
         perturbations.py _curv); the CMB Harmonic section additionally
-        serves curved scalar Cls for |Omega_k| <= 0.12 (geodesic radial
-        projection, tests/test_curved_harmonic.py) and raises beyond."""
+        serves curved scalar AND tensor Cls for |Omega_k| <= 0.12
+        (geodesic radial projection, tests/test_curved_harmonic.py;
+        tensor eigenvalue q^2 = k^2 + 3K) and raises beyond."""
         p = {n: self[n] for n in ['omega_b', 'omega_cdm', 'h', 'T_cmb', 'N_ur',
                                   'w0_fld', 'wa_fld', 'n_s', 'k_pivot',
                                   'alpha_s', 'beta_s', 'omega_k']}
@@ -395,15 +397,9 @@ class Harmonic(BaseSection):
                 'radial functions are served by the geodesic projection '
                 'j_l(q S_K(chi)), whose O(K/q^2) error is certified only in '
                 'that window (tests/test_curved_harmonic.py).')
-        if omega_k > 1e-10:
-            try:
-                has_tensors = float(engine['r']) > 0.0
-            except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
-                has_tensors = False
-            if has_tensors:
-                raise CosmologyInputError(
-                    'native tensor Cls (r > 0) require a flat geometry; the '
-                    'scalar Harmonic section supports |Omega_k| <= 0.12.')
+        # tensor Cls (r > 0) share the scalar window: the projection uses
+        # the geodesic mapping x = q S_K(chi) with the tensor eigenvalue
+        # q^2 = k^2 + 3K (boltzmann/tensor.py project_tensor_sources)
         self._rsigma8 = engine._rescale_sigma8()
         self.ellmax_cl = engine['ellmax_cl']
 

@@ -182,3 +182,44 @@ def test_native_engine_serves_tensor_bb():
     np.testing.assert_allclose(diff, np.asarray(unl['bb'])[ells], rtol=2e-2)
     # and the floor itself is the scalar lensing BB (nonzero)
     assert np.all(np.asarray(lens0['bb'])[ells] > 0)
+
+
+@pytest.mark.slow
+def test_curved_tensor_window():
+    """Curved tensor Cls through the geodesic projection with the TENSOR
+    radial eigenvalue q^2 = k^2 + 3K (same |Omega_k| <= 0.12 window as the
+    scalar section): (a) Cl-level flat continuity at Omega_k -> 0; (b) the
+    BB recombination bump's angular position remaps by the acoustic-scale
+    ratio theta*_flat / theta*_curved for an open model."""
+    from cosmoprimo_tpu.boltzmann import tensor
+
+    def bb(omega_k):
+        cosmo = DESI(engine='native').clone(r=0.1, Omega_k=omega_k)
+        th = cosmo.get_thermodynamics().table
+        pp = cosmo.engine._perturbation_params()
+        pp['r'] = float(cosmo['r'])
+        pp['n_t'] = float(cosmo['n_t'])
+        pp['alpha_t'] = float(cosmo['alpha_t'])
+        out = tensor.compute_tensor_cls(pp, th, lmax=250)
+        return np.asarray(out['bb']), cosmo
+
+    bb_flat, cosmo_flat = bb(0.0)
+    bb_eps, _ = bb(1e-9)
+    ell = np.arange(251)
+    win = (ell >= 40) & (ell <= 240)
+    # (a) continuity: Omega_k = 1e-9 reproduces flat BB
+    np.testing.assert_allclose(bb_eps[win], bb_flat[win], rtol=1e-3)
+
+    # (b) open model: the bump centroid scales with 1/theta*
+    bb_open, cosmo_open = bb(0.05)
+    assert np.all(np.isfinite(bb_open)) and bb_open[100] > 0
+
+    def centroid(cl):
+        d = ell[win] * (ell[win] + 1.0) * cl[win]
+        return float(np.sum(ell[win] * d) / np.sum(d))
+
+    shift = centroid(bb_open) / centroid(bb_flat)
+    theta_ratio = (float(np.asarray(cosmo_flat.get_thermodynamics().theta_star))
+                   / float(np.asarray(cosmo_open.get_thermodynamics().theta_star)))
+    assert theta_ratio > 1.02  # the open model must actually move the scale
+    np.testing.assert_allclose(shift, theta_ratio, rtol=0.05)
